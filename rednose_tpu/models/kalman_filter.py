@@ -1,0 +1,67 @@
+"""Declarative KalmanFilter facade.
+
+Mirror of the reference facade (rednose/helpers/kalmanfilter.py:6-52): a
+subclass declares `spec`, `initial_x`, `initial_P_diag`, `Q` and `obs_noise`,
+and gets state properties, init_state, R tiling, and predict_and_observe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, ClassVar
+
+import numpy as np
+
+from rednose_tpu.core.spec import FilterSpec
+from rednose_tpu.runtime.driver import FilterEngine
+
+
+class KalmanFilter:
+  name: ClassVar[str] = "<name>"
+  initial_x: np.ndarray = np.zeros(0)
+  initial_P_diag: np.ndarray = np.zeros(0)
+  Q: np.ndarray = np.zeros((0, 0))
+  obs_noise: dict[int, Any] = {}
+
+  @classmethod
+  def build_spec(cls) -> FilterSpec:
+    raise NotImplementedError
+
+  def __init__(self, max_rewind_age: float = 1.0, params=None):
+    self.spec = self.build_spec()
+    self.filter = FilterEngine(
+        self.spec, self.Q, self.initial_x, np.diag(self.initial_P_diag),
+        params=params, max_rewind_age=max_rewind_age)
+
+  @property
+  def x(self):
+    return self.filter.state()
+
+  @property
+  def t(self):
+    return self.filter.get_filter_time()
+
+  @property
+  def P(self):
+    return self.filter.covs()
+
+  def init_state(self, state, covs_diag=None, covs=None, filter_time=None):
+    if covs_diag is not None:
+      P = np.diag(covs_diag)
+    elif covs is not None:
+      P = covs
+    else:
+      P = self.filter.covs()
+    self.filter.init_state(state, P, filter_time)
+
+  def get_R(self, kind, n):
+    """Tile the per-kind noise matrix to a batch (kalmanfilter.py:37-43)."""
+    obs_noise = self.obs_noise[kind]
+    dim = obs_noise.shape[0]
+    return np.tile(obs_noise[None, :, :], (n, 1, 1)).reshape(n, dim, dim)
+
+  def predict_and_observe(self, t, kind, data, R=None):
+    if len(data) > 0:
+      data = np.atleast_2d(data)
+    if R is None:
+      R = self.get_R(kind, len(data))
+    return self.filter.predict_and_update_batch(t, kind, data, R)

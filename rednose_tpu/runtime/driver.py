@@ -1,0 +1,236 @@
+"""Sequential streaming filter engine with out-of-order observation handling.
+
+TPU-native equivalent of both reference runtime engines (the Python EKF_sym,
+rednose/helpers/ekf_sym.py:220-690, and the C++ EKFSym,
+rednose/helpers/ekf_sym.{h,cc}): a single host-side class orchestrates time
+bookkeeping, the rewind/replay checkpoint ring, and MSCKF augmentation, while
+every numeric step dispatches into jit-compiled XLA kernels from core/step.py.
+
+Like the reference, rewinding is inherently data-dependent (how far back we go
+depends on the observation timestamp), so the timeline logic lives on the host
+— exactly where the reference keeps it (ekf_sym.cc:83-156) — and only the
+dense predict/update math runs on device. Device state (x, P) is immutable, so
+checkpoints are free references rather than the reference's np.copy snapshots
+(ekf_sym.py:443).
+"""
+
+from __future__ import annotations
+
+import logging
+from bisect import bisect_right
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.core import step as step_ops
+from rednose_tpu.core.spec import FilterSpec
+
+# Number of (t, x, P) checkpoints retained for rewind, matching the
+# reference's REWIND_TO_KEEP (ekf_sym.py:447, ekf_sym.h:18).
+REWIND_TO_KEEP = 512
+
+
+class KalmanError(Exception):
+  """Filter divergence (mirrors rednose/helpers/__init__.py:34)."""
+
+
+class Estimate(tuple):
+  """9-tuple estimate (xk_km1, xk_k, Pk_km1, Pk_k, t, kind, y, z, extra_args),
+  mirroring the reference's return (ekf_sym.py:531, ekf_sym.h:32-42)."""
+  __slots__ = ()
+
+
+class FilterEngine:
+  """Drop-in functional equivalent of the reference's EKF_sym / EKFSym."""
+
+  def __init__(self, spec: FilterSpec, Q, x_initial, P_initial,
+               params=None, max_rewind_age: float = 1.0, logger=logging,
+               dtype=None):
+    self.spec = spec
+    self.logger = logger
+    self.max_rewind_age = max_rewind_age
+    self.dtype = dtype or jnp.zeros(0).dtype  # default jax dtype (x64 aware)
+
+    x_initial = np.asarray(x_initial).reshape(-1)
+    assert x_initial.shape[0] == spec.dim_x
+    assert np.asarray(P_initial).shape == (spec.dim_err, spec.dim_err)
+    assert np.asarray(Q).shape == (spec.dim_err, spec.dim_err)
+
+    self.Q = jnp.asarray(Q, dtype=self.dtype)
+    self.params = params if params is not None else dict(spec.default_params)
+
+    # rewind ring (host lists; device arrays are immutable so no copies needed)
+    self.rewind_t: list[float] = []
+    self.rewind_states: list[tuple] = []
+    self.rewind_obscache: list[tuple] = []
+
+    self.init_state(x_initial, P_initial, None)
+
+  # ------------------------------------------------------------------ state
+
+  def init_state(self, state, covs, filter_time):
+    """Re-seed the filter (reference: ekf_sym.py:351-358) — used by callers
+    for warm-starts / resume."""
+    self.x = jnp.asarray(np.asarray(state).reshape(-1), dtype=self.dtype)
+    self.P = jnp.asarray(covs, dtype=self.dtype)
+    self.filter_time = filter_time
+    self.augment_times = [0.0] * self.spec.n_augment
+    self.reset_rewind()
+
+  def reset_rewind(self):
+    self.rewind_t = []
+    self.rewind_states = []
+    self.rewind_obscache = []
+
+  def state(self):
+    return np.asarray(jax.device_get(self.x)).flatten()
+
+  def covs(self):
+    return np.asarray(jax.device_get(self.P))
+
+  def get_filter_time(self):
+    return self.filter_time
+
+  def set_filter_time(self, t):
+    self.filter_time = t
+
+  def get_augment_times(self):
+    return self.augment_times
+
+  def set_global(self, name, val):
+    """Runtime-tunable parameter update (replaces the reference's C-global
+    set_<var> setters, ekf_sym.py:415-416). Params are traced arguments, so
+    this never triggers recompilation."""
+    self.params = dict(self.params)
+    self.params[name] = val
+
+  # ------------------------------------------------------------------ rewind
+
+  def rewind(self, t):
+    """Roll state back to just before t; return observations to replay
+    (reference: ekf_sym.py:418-438)."""
+    idx = bisect_right(self.rewind_t, t)
+    assert self.rewind_t[idx - 1] <= t
+    assert self.rewind_t[idx] > t
+
+    self.filter_time = self.rewind_t[idx - 1]
+    self.x, self.P = self.rewind_states[idx - 1]
+
+    replay = self.rewind_obscache[idx:]
+    self.rewind_t = self.rewind_t[:idx]
+    self.rewind_states = self.rewind_states[:idx]
+    self.rewind_obscache = self.rewind_obscache[:idx]
+    return replay
+
+  def checkpoint(self, obs):
+    self.rewind_t.append(self.filter_time)
+    self.rewind_states.append((self.x, self.P))
+    self.rewind_obscache.append(obs)
+    if len(self.rewind_t) > REWIND_TO_KEEP:
+      self.rewind_t = self.rewind_t[-REWIND_TO_KEEP:]
+      self.rewind_states = self.rewind_states[-REWIND_TO_KEEP:]
+      self.rewind_obscache = self.rewind_obscache[-REWIND_TO_KEEP:]
+
+  # ------------------------------------------------------------------- steps
+
+  def predict(self, t):
+    """Advance to time t with no measurement (reference: ekf_sym.py:452-462)."""
+    if self.filter_time is None:
+      self.filter_time = t
+    dt = t - self.filter_time
+    assert dt >= 0
+    fn = step_ops.jit_predict(self.spec)
+    self.x, self.P = fn(self.params, self.x, self.P, self.Q,
+                        jnp.asarray(dt, dtype=self.dtype))
+    self.filter_time = t
+
+  def predict_and_update_batch(self, t, kind, z, R, extra_args=None,
+                               augment=False):
+    """Out-of-order-safe predict + batched update (reference:
+    ekf_sym.py:464-482): too-old observations are rejected, in-window late
+    observations trigger rewind + replay."""
+    if self.filter_time is not None and t < self.filter_time:
+      if (len(self.rewind_t) == 0 or t < self.rewind_t[0]
+          or t < self.rewind_t[-1] - self.max_rewind_age):
+        self.logger.error(
+            f"observation too old at {t:.3f} with filter at "
+            f"{self.filter_time:.3f}, ignoring")
+        return None
+      replay = self.rewind(t)
+    else:
+      replay = []
+
+    ret = self._predict_and_update_batch(t, kind, z, R, extra_args, augment)
+    for r in replay:
+      self._predict_and_update_batch(*r)
+    return ret
+
+  def _predict_and_update_batch(self, t, kind, z, R, extra_args, augment=False):
+    z = np.atleast_2d(np.asarray(z, dtype=np.float64))
+    R = np.asarray(R, dtype=np.float64)
+    n = z.shape[0]
+    assert R.shape[0] == n and z.shape[1] == R.shape[1] == R.shape[2]
+    om = self.spec.obs[kind]
+    ea_dim = max(om.ea_dim, 1)  # keep a dummy lane so shapes stay static
+    if extra_args is None or (hasattr(extra_args, "__len__") and len(extra_args) == 0):
+      ea = np.zeros((n, ea_dim))
+    else:
+      ea = np.asarray(extra_args, dtype=np.float64).reshape(n, -1)
+
+    if self.filter_time is None:
+      self.filter_time = t
+    dt = t - self.filter_time
+    assert dt >= 0
+
+    fn = step_ops.jit_predict_and_update_batch(self.spec, kind)
+    x_pred, P_pred, x_post, P_post, y = fn(
+        self.params, self.x, self.P, self.Q,
+        jnp.asarray(dt, dtype=self.dtype),
+        jnp.asarray(z, dtype=self.dtype),
+        jnp.asarray(R, dtype=self.dtype),
+        jnp.asarray(ea, dtype=self.dtype))
+    self.x, self.P = x_post, P_post
+    self.filter_time = t
+
+    if augment:
+      self.augment()
+
+    self.checkpoint((t, kind, z, R, extra_args))
+    # Estimate fields stay as device arrays: no host sync on the hot path
+    # (device->host transfers are the dominant cost when the device is a
+    # remote TPU). Callers index/np.asarray lazily.
+    return Estimate((x_pred, x_post, P_pred, P_post,
+                     t, kind, list(y), z, extra_args))
+
+  def augment(self):
+    """MSCKF pose-window augmentation (reference: ekf_sym.py:365-391)."""
+    assert self.spec.is_msckf
+    fn = step_ops.jit_augment(self.spec)
+    self.x, self.P = fn(self.x, self.P)
+    self.augment_times = self.augment_times[1:] + [self.filter_time]
+
+  def maha_test(self, x, P, kind, z, R, extra_args=None, maha_thresh=0.95):
+    """Standalone outlier test (reference: ekf_sym.py:626-649)."""
+    om = self.spec.obs[kind]
+    ea_dim = max(om.ea_dim, 1)
+    ea = (np.zeros(ea_dim) if extra_args is None or len(extra_args) == 0
+          else np.asarray(extra_args))
+    ok = step_ops.maha_test(
+        self.spec, kind, self.params,
+        jnp.asarray(np.asarray(x).reshape(-1), dtype=self.dtype),
+        jnp.asarray(P, dtype=self.dtype),
+        jnp.asarray(np.asarray(z).reshape(-1), dtype=self.dtype),
+        jnp.asarray(R, dtype=self.dtype),
+        jnp.asarray(ea, dtype=self.dtype),
+        maha_thresh=maha_thresh)
+    return bool(ok)
+
+  def rts_smooth(self, estimates, norm_quats=False):
+    """Offline RTS smoothing of a list of Estimates (reference:
+    ekf_sym.py:651-690). Delegates to the smoothing module."""
+    from rednose_tpu.smoothing.rts import rts_smooth
+
+    return rts_smooth(self.spec, self.params, estimates,
+                      norm_quats=norm_quats, dtype=self.dtype)
