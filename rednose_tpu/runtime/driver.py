@@ -227,10 +227,12 @@ class FilterEngine:
         maha_thresh=maha_thresh)
     return bool(ok)
 
-  def rts_smooth(self, estimates, norm_quats=False):
+  def rts_smooth(self, estimates, norm_quats=False, parallel=False):
     """Offline RTS smoothing of a list of Estimates (reference:
-    ekf_sym.py:651-690). Delegates to the smoothing module."""
-    from rednose_tpu.smoothing.rts import rts_smooth
+    ekf_sym.py:651-690). Delegates to the smoothing module; `parallel=True`
+    selects the associative-scan parallel-in-time formulation."""
+    from rednose_tpu.smoothing.rts import smooth_estimates
 
-    return rts_smooth(self.spec, self.params, estimates,
-                      norm_quats=norm_quats, dtype=self.dtype)
+    return smooth_estimates(self.spec, self.params, estimates,
+                            norm_quats=norm_quats, parallel=parallel,
+                            dtype=self.dtype)

@@ -1,0 +1,200 @@
+"""Rauch-Tung-Striebel smoothing: sequential and parallel-in-time.
+
+TPU-native rebuild of the reference smoother (rednose/helpers/ekf_sym.py:651-690),
+which is a strictly sequential Python backward loop over the estimate list. Two
+implementations are provided:
+
+  * `rts_smooth` — exact semantics match: a `lax.scan` backward pass that
+    smooths only the main (non-augmented) state block, computes the smoothed
+    delta through the spec's inv_err/err functions so it is ESKF-correct, and
+    optionally renormalizes quaternions. O(T) sequential depth, but each step
+    is one fused XLA program instead of T Python iterations with cffi calls.
+
+  * `rts_smooth_parallel` — parallel-in-time formulation via
+    `jax.lax.associative_scan`. The smoothed correction obeys the affine
+    backward recursion e_k = C_k·(u_{k+1} + e_{k+1}) (with u the filter-update
+    increment and C the smoother gain), which is a first-order linear
+    recurrence and therefore scannable in O(log T) depth. Exact for additive
+    error states; for ESKF specs the recursion runs in the error tangent space
+    (inv_err at the filtered trajectory), the standard linearization used by
+    parallel-in-time smoothers. This is the "sequence parallel" analog named
+    in SURVEY.md §2.5 — the time axis can additionally be sharded.
+
+Both consume the stacked arrays of a forward pass; `smooth_estimates` adapts
+the driver's list-of-Estimate format (ekf_sym.py:651 signature).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.core.spec import FilterSpec
+from rednose_tpu.ops.quaternion import normalize_slices
+
+Array = Any
+
+
+def _smoother_gain(spec: FilterSpec, params, x_post, P_post, P_pred_next, dt):
+  """C_k = P_{k|k} F_k^T P_{k+1|k}^{-1} on the main error block
+  (reference: ekf_sym.py:673-677)."""
+  d2 = spec.dim_main_err
+  F = spec.F(params, x_post, dt)[:d2, :d2]
+  Pk = P_post[:d2, :d2]
+  Pk1 = P_pred_next[:d2, :d2]
+  # solve(Pk1, F @ Pk.T).T == Pk F^T Pk1^{-1} for symmetric Pk1.
+  return jnp.linalg.solve(Pk1, F @ Pk.T).T
+
+
+def rts_smooth(spec: FilterSpec, params, x_pred, P_pred, x_post, P_post, t,
+               norm_quats: bool = False):
+  """Sequential (lax.scan) RTS backward pass.
+
+  Args: stacked forward-pass results, time-major:
+    x_pred (T, dim_x)  : x_{k|k-1}   P_pred (T, dim_err, dim_err) : P_{k|k-1}
+    x_post (T, dim_x)  : x_{k|k}     P_post (T, dim_err, dim_err) : P_{k|k}
+    t (T,) timestamps.
+  Returns (x_smooth, P_smooth) with the same leading shape. Only the main
+  state block is smoothed; MSCKF augment slots pass through unchanged
+  (reference: ekf_sym.py:677-686 slices [:d1]/[:d2]).
+  """
+  d1, d2 = spec.dim_main, spec.dim_main_err
+  T = x_post.shape[0]
+  dts = t[1:] - t[:-1]
+
+  def backward(carry, inp):
+    x_next_s, P_next_s = carry
+    x_k, P_k, x_pred_next, P_pred_next, dt = inp
+    Ck = _smoother_gain(spec, params, x_k, P_k, P_pred_next, dt)
+    dx = spec.inv_err(params, x_pred_next, x_next_s)
+    dx = dx.at[:d2].set(Ck @ dx[:d2])
+    x_s = spec.err(params, x_k, dx)
+    x_s = x_k.at[:d1].set(x_s[:d1])
+    if norm_quats:
+      x_s = normalize_slices(x_s, spec.quaternion_idxs)
+    P_s = P_k.at[:d2, :d2].add(
+        Ck @ (P_next_s[:d2, :d2] - P_pred_next[:d2, :d2]) @ Ck.T)
+    return (x_s, P_s), (x_s, P_s)
+
+  init = (x_post[T - 1], P_post[T - 1])
+  # scan over k = T-2 .. 0: inputs are (filtered at k, predicted at k+1, dt_k)
+  inputs = (x_post[:-1], P_post[:-1], x_pred[1:], P_pred[1:], dts)
+  _, (xs, Ps) = jax.lax.scan(backward, init, inputs, reverse=True)
+  x_smooth = jnp.concatenate([xs, x_post[T - 1:]], axis=0)
+  P_smooth = jnp.concatenate([Ps, P_post[T - 1:]], axis=0)
+  return x_smooth, P_smooth
+
+
+def _affine_combine(a, b):
+  """Associative combine for the backward affine recurrence.
+
+  Elements are (A, b, V) representing the affine map
+    e_out = A·e_in + b          (mean correction)
+    D_out = V + A·D_in·A^T      (covariance correction)
+
+  With `associative_scan(..., reverse=True)`, the scan semantics are
+  r[k] = x[n-1] ∘ ... ∘ x[k]: the first combine argument `a` is the
+  composition of LATER-index elements, the second `b` the EARLIER element —
+  and the backward recurrence applies the earlier element outermost
+  (e_k = A_k·e_{k+1} + b_k), so `b` wraps `a`:
+    e = A_b·(A_a·e + b_a) + b_b
+  """
+  A_a, b_a, V_a = a
+  A_b, b_b, V_b = b
+  A = jnp.einsum('...ij,...jk->...ik', A_b, A_a)
+  b_new = jnp.einsum('...ij,...j->...i', A_b, b_a) + b_b
+  V = V_b + jnp.einsum('...ij,...jk,...lk->...il', A_b, V_a, A_b)
+  return A, b_new, V
+
+
+def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
+                        P_post, t, norm_quats: bool = False):
+  """Parallel-in-time RTS via associative scan (O(log T) depth).
+
+  Derivation: let e_k = inv_err(x_{k|k}, x_{k|T}) be the smoothed correction
+  in the error tangent space and u_{k+1} = inv_err(x_{k+1|k}, x_{k+1|k+1}) the
+  filter-update increment. The RTS recursion x_{k|T} = err(x_{k|k},
+  C_k·inv_err(x_{k+1|k}, x_{k+1|T})) linearizes to
+
+      e_k = C_k·u_{k+1} + C_k·e_{k+1},       e_{T-1} = 0
+
+  and the covariance recursion P_{k|T} = P_{k|k} + C_k (P_{k+1|T} −
+  P_{k+1|k}) C_k^T is, in terms of D_k = P_{k|T} − P_{k|k},
+
+      D_k = C_k·(P_{k+1|k+1} − P_{k+1|k})·C_k^T + C_k·D_{k+1}·C_k^T.
+
+  Both are first-order affine recurrences, combined associatively. Exact for
+  additive error states (matches `rts_smooth` to roundoff); first-order in the
+  error state for ESKF specs.
+  """
+  d1, d2 = spec.dim_main, spec.dim_main_err
+  T = x_post.shape[0]
+  dts = t[1:] - t[:-1]
+
+  gains = jax.vmap(
+      lambda xk, Pk, Pp1, dt: _smoother_gain(spec, params, xk, Pk, Pp1, dt)
+  )(x_post[:-1], P_post[:-1], P_pred[1:], dts)  # (T-1, d2, d2)
+
+  u = jax.vmap(lambda xp, xf: spec.inv_err(params, xp, xf))(
+      x_pred[1:], x_post[1:])[:, :d2]  # (T-1, d2)
+  b = jnp.einsum('kij,kj->ki', gains, u)
+  dP = P_post[1:, :d2, :d2] - P_pred[1:, :d2, :d2]
+  V = jnp.einsum('kij,kjl,kml->kim', gains, dP, gains)
+
+  # Backward associative scan over elements k = 0..T-2.
+  A_acc, e_acc, D_acc = jax.lax.associative_scan(
+      _affine_combine, (gains, b, V), reverse=True)
+  del A_acc  # only the accumulated affine offset is needed (e_{T-1} = 0)
+
+  # Inject corrections back into the nominal state.
+  def inject(x_k, e_k):
+    dx = jnp.zeros((spec.dim_err,), dtype=x_k.dtype).at[:d2].set(e_k)
+    x_s = spec.err(params, x_k, dx)
+    x_s = x_k.at[:d1].set(x_s[:d1])
+    if norm_quats:
+      x_s = normalize_slices(x_s, spec.quaternion_idxs)
+    return x_s
+
+  xs = jax.vmap(inject)(x_post[:-1], e_acc)
+  Ps = P_post[:-1].at[:, :d2, :d2].add(D_acc)
+  x_smooth = jnp.concatenate([xs, x_post[T - 1:]], axis=0)
+  P_smooth = jnp.concatenate([Ps, P_post[T - 1:]], axis=0)
+  return x_smooth, P_smooth
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_rts(spec: FilterSpec, norm_quats: bool, parallel: bool):
+  fn = rts_smooth_parallel if parallel else rts_smooth
+  return jax.jit(functools.partial(fn, spec, norm_quats=norm_quats),
+                 static_argnames=())
+
+
+def smooth_estimates(spec: FilterSpec, params, estimates,
+                     norm_quats: bool = False, parallel: bool = False,
+                     dtype=None):
+  """Driver-facing entry point consuming a list of 9-tuple Estimates
+  (reference signature: ekf_sym.py:651 rts_smooth(estimates, norm_quats)).
+
+  Returns a list of smoothed (x, P) pairs, newest last, matching the
+  reference's return ordering (ekf_sym.py:657-690 builds backwards then the
+  caller reverses; we return time-ascending which is what downstream uses).
+  """
+  if len(estimates) <= 1:
+    return [(np.asarray(e[1]).flatten(), np.asarray(e[3])) for e in estimates]
+  x_pred = jnp.stack([jnp.asarray(e[0], dtype=dtype).reshape(-1)
+                      for e in estimates])
+  x_post = jnp.stack([jnp.asarray(e[1], dtype=dtype).reshape(-1)
+                      for e in estimates])
+  P_pred = jnp.stack([jnp.asarray(e[2], dtype=dtype) for e in estimates])
+  P_post = jnp.stack([jnp.asarray(e[3], dtype=dtype) for e in estimates])
+  t = jnp.asarray([float(e[4]) for e in estimates], dtype=dtype)
+  fn = rts_smooth_parallel if parallel else rts_smooth
+  xs, Ps = fn(spec, params, x_pred, P_pred, x_post, P_post, t,
+              norm_quats=norm_quats)
+  xs = np.asarray(xs)
+  Ps = np.asarray(Ps)
+  return [(xs[i], Ps[i]) for i in range(xs.shape[0])]
