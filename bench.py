@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""North-star benchmark: 16k-wide kinematic EKF bank with Mahalanobis gating,
+fused Pallas scan kernel (BASELINE.json "configs" item 3).
+
+Metric: fused predict+update steps/sec/chip over the whole (T x B) workload.
+Baseline target (BASELINE.json "north_star"): 10M steps/sec/chip.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 10e6
+
+B = int(os.environ.get("BENCH_BANK", 16384))
+T = int(os.environ.get("BENCH_STEPS", 4096))
+TILE_B = int(os.environ.get("BENCH_TILE_B", 8192))
+T_CHUNK = int(os.environ.get("BENCH_T_CHUNK", 128))
+REPS = int(os.environ.get("BENCH_REPS", 3))
+# applications chained inside one dispatch: amortizes the host->device
+# dispatch latency (which on a relayed TPU is ~30ms, 10x the kernel itself)
+CHAIN = int(os.environ.get("BENCH_CHAIN", 16))
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.kinematic import KinematicKalman
+  from rednose_tpu.ops import pallas_step
+
+  dev = jax.devices()[0]
+  log(f"device: {dev}, bank={B}, steps={T}, tile_b={TILE_B}, t_chunk={T_CHUNK}")
+
+  dtype = jnp.float32
+  x0 = jnp.broadcast_to(
+      jnp.asarray(KinematicKalman.initial_x, dtype=dtype), (B, 2))
+  P0 = jnp.broadcast_to(
+      jnp.asarray(np.diag(KinematicKalman.initial_P_diag), dtype=dtype),
+      (B, 2, 2))
+  packed = pallas_step.pack_state(x0, P0)
+  # synthesize measurements on-device: no host->device bulk transfer
+  zs = 0.5 * jax.random.normal(jax.random.key(0), (T, B), dtype=dtype)
+  dts = jnp.full((T,), 0.01, dtype=dtype)
+  rs = jnp.full((T,), 0.1**2, dtype=dtype)
+  Q = KinematicKalman.Q
+
+  @jax.jit
+  def chain(s, zs):
+    for _ in range(CHAIN):
+      s = pallas_step.kinematic_bank_scan(
+          s, zs, dts, rs, q00=float(Q[0, 0]), q11=float(Q[1, 1]), maha=True,
+          t_chunk=T_CHUNK, tile_b=TILE_B)
+    return s
+
+  # compile + warmup
+  out = jax.block_until_ready(chain(packed, zs))
+  assert bool(jnp.all(jnp.isfinite(out))), "non-finite filter state"
+
+  times = []
+  for _ in range(REPS):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(chain(packed, zs))
+    times.append(time.perf_counter() - t0)
+  best = min(times)
+  steps_per_sec = (B * T * CHAIN) / best
+  log(f"times: {[f'{t*1e3:.2f}ms' for t in times]}; best {best*1e3:.3f} ms "
+      f"for {CHAIN} applications -> {steps_per_sec/1e6:.1f}M steps/s")
+
+  print(json.dumps({
+      "metric": "kinematic_bank_fused_predict_update_throughput",
+      "value": round(steps_per_sec, 1),
+      "unit": "steps/sec/chip",
+      "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,112 @@
+"""Multi-chip scale-out: sharded filter banks over a device mesh.
+
+The "distributed backend" analog for this domain (SURVEY.md §2.5): the
+reference is strictly single-process, so the scale-out dimension the rebuild
+adds is the bank axis sharded across chips with `jax.sharding` — the step
+itself is embarrassingly parallel (zero collectives on the hot path; XLA
+inserts nothing), and bank-wide aggregate metrics are the only communication,
+expressed as `psum` inside `shard_map` so they ride ICI.
+
+Mesh layout: a 1-D 'bank' axis over all devices. A bank of B filters shards
+to B/n_devices per chip; each chip runs the identical fused scan kernel on
+its shard. Multi-slice (DCN) meshes work identically — the bank axis simply
+spans slices, and since the step has no collectives there is no DCN traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rednose_tpu.core.spec import FilterSpec
+from rednose_tpu.runtime import bank as bank_ops
+
+Array = Any
+
+BANK_AXIS = 'bank'
+
+
+def make_bank_mesh(devices=None) -> Mesh:
+  """1-D mesh over all (or the given) devices with a single 'bank' axis."""
+  import numpy as np
+
+  if devices is None:
+    devices = jax.devices()
+  return Mesh(np.array(devices), (BANK_AXIS,))
+
+
+def bank_sharding(mesh: Mesh) -> NamedSharding:
+  """Leading-axis sharding for bank pytrees (x, P, t all shard on axis 0)."""
+  return NamedSharding(mesh, P(BANK_AXIS))
+
+
+def shard_bank(state: bank_ops.BankState, mesh: Mesh) -> bank_ops.BankState:
+  """Place a BankState with the bank axis sharded over the mesh."""
+  sh = bank_sharding(mesh)
+  return jax.tree.map(lambda a: jax.device_put(a, sh), state)
+
+
+def sharded_run_bank(spec: FilterSpec, kind: int, mesh: Mesh, params,
+                     state: bank_ops.BankState, Q, dts, zs, Rs,
+                     eas=None):
+  """Run the (T, B) bank workload with B sharded over the mesh.
+
+  The scan body is per-filter independent, so jit + sharded inputs partitions
+  it with zero communication; dts/Q/params stay replicated.
+  """
+  sh = bank_sharding(mesh)
+  repl = NamedSharding(mesh, P())
+  state = jax.tree.map(lambda a: jax.device_put(a, sh), state)
+  zs = jax.device_put(zs, NamedSharding(mesh, P(None, BANK_AXIS)))
+  if Rs.ndim == 4:
+    Rs = jax.device_put(Rs, NamedSharding(mesh, P(None, BANK_AXIS)))
+  else:
+    Rs = jax.device_put(Rs, repl)
+  dts = jax.device_put(dts, repl)
+  fn = bank_ops.jit_run_bank(spec, kind)
+  return fn(params, state, Q, dts, zs, Rs, eas)
+
+
+def sharded_bank_rmse(mesh: Mesh, state: bank_ops.BankState,
+                      truth: Array) -> Array:
+  """Bank-wide RMSE as an explicit ICI collective: per-shard partial sums
+  combined with psum inside shard_map (SURVEY.md §2.5 item 2)."""
+  truth = jnp.asarray(truth, dtype=state.x.dtype)
+
+  def local(x_shard):
+    sq = jnp.sum((x_shard - truth) ** 2)
+    n = jnp.asarray(x_shard.size, dtype=x_shard.dtype)
+    total_sq = jax.lax.psum(sq, BANK_AXIS)
+    total_n = jax.lax.psum(n, BANK_AXIS)
+    return (total_sq / total_n)[None]
+
+  out = jax.shard_map(
+      local, mesh=mesh, in_specs=P(BANK_AXIS), out_specs=P(BANK_AXIS))(state.x)
+  return jnp.sqrt(out[0])
+
+
+@functools.lru_cache(maxsize=None)
+def jit_sharded_step(spec: FilterSpec, kind: int, mesh: Mesh):
+  """One fused bank predict+update step, jitted with bank-axis shardings —
+  the 'training step' equivalent used by the multichip dry run."""
+  sh = bank_sharding(mesh)
+  repl = NamedSharding(mesh, P())
+
+  def step(params, state, Q, dt, z, R, ea):
+    return bank_ops.bank_predict_and_update(
+        spec, kind, params, state, Q, dt, z, R, ea)
+
+  return jax.jit(
+      step,
+      in_shardings=(repl,  # params
+                    bank_ops.BankState(x=sh, P=sh, t=sh),
+                    repl, repl,
+                    NamedSharding(mesh, P(BANK_AXIS)),
+                    NamedSharding(mesh, P(BANK_AXIS)),
+                    NamedSharding(mesh, P(BANK_AXIS))),
+      out_shardings=(bank_ops.BankState(x=sh, P=sh, t=sh),
+                     NamedSharding(mesh, P(BANK_AXIS))))

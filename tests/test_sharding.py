@@ -1,0 +1,67 @@
+"""Sharded-bank tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8), per SURVEY.md §4 pattern (d):
+CPU-runnable so CI needs no TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind
+from rednose_tpu.parallel import sharding as shard_ops
+from rednose_tpu.runtime import bank as bank_ops
+
+
+@pytest.fixture(scope='module')
+def mesh():
+  assert len(jax.devices()) == 8, jax.devices()
+  return shard_ops.make_bank_mesh()
+
+
+def _workload(T=32, B=64, seed=0):
+  rng = np.random.default_rng(seed)
+  spec = KinematicKalman.build_spec()
+  state = bank_ops.init_bank(
+      spec, KinematicKalman.initial_x, np.diag(KinematicKalman.initial_P_diag),
+      batch=B, dtype=jnp.float64)
+  Q = jnp.asarray(KinematicKalman.Q)
+  dts = jnp.full((T,), 0.01)
+  zs = jnp.asarray(rng.normal(0, 0.5, size=(T, B, 1)))
+  Rs = jnp.broadcast_to(jnp.asarray(0.1**2).reshape(1, 1, 1, 1), (T, B, 1, 1))
+  return spec, state, Q, dts, zs, Rs
+
+
+def test_sharded_matches_unsharded(mesh):
+  spec, state, Q, dts, zs, Rs = _workload()
+  ref_final, ref_ys = bank_ops.run_bank(
+      spec, ObservationKind.POSITION, {}, state, Q, dts, zs, Rs)
+  sh_final, sh_ys = shard_ops.sharded_run_bank(
+      spec, ObservationKind.POSITION, mesh, {}, state, Q, dts, zs, Rs)
+  np.testing.assert_allclose(np.asarray(sh_final.x), np.asarray(ref_final.x),
+                             rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(sh_final.P), np.asarray(ref_final.P),
+                             rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(sh_ys), np.asarray(ref_ys), rtol=1e-12)
+  # the output really is sharded over the mesh
+  assert len(sh_final.x.sharding.device_set) == 8
+
+
+def test_sharded_rmse_psum(mesh):
+  spec, state, Q, dts, zs, Rs = _workload()
+  final, _ = shard_ops.sharded_run_bank(
+      spec, ObservationKind.POSITION, mesh, {}, state, Q, dts, zs, Rs)
+  truth = jnp.zeros((2,), dtype=jnp.float64)
+  rmse_sharded = shard_ops.sharded_bank_rmse(mesh, final, truth)
+  rmse_local = bank_ops.bank_rmse(final, truth)
+  np.testing.assert_allclose(float(rmse_sharded), float(rmse_local), rtol=1e-12)
+
+
+def test_jit_sharded_step(mesh):
+  spec, state, Q, _, zs, Rs = _workload()
+  state = shard_ops.shard_bank(state, mesh)
+  fn = shard_ops.jit_sharded_step(spec, ObservationKind.POSITION, mesh)
+  ea = jnp.zeros((state.batch, 1), dtype=jnp.float64)
+  new_state, y = fn({}, state, Q, jnp.asarray(0.01), zs[0], Rs[0], ea)
+  assert new_state.x.shape == state.x.shape
+  assert len(new_state.x.sharding.device_set) == 8
+  assert y.shape == (state.batch, 1)
