@@ -17,7 +17,6 @@ checkpoints are free references rather than the reference's np.copy snapshots
 from __future__ import annotations
 
 import logging
-from bisect import bisect_right
 from typing import Any
 
 import jax
@@ -26,10 +25,7 @@ import numpy as np
 
 from rednose_tpu.core import step as step_ops
 from rednose_tpu.core.spec import FilterSpec
-
-# Number of (t, x, P) checkpoints retained for rewind, matching the
-# reference's REWIND_TO_KEEP (ekf_sym.py:447, ekf_sym.h:18).
-REWIND_TO_KEEP = 512
+from rednose_tpu.runtime.rewind import REWIND_TO_KEEP, RewindRing
 
 
 class KalmanError(Exception):
@@ -61,10 +57,10 @@ class FilterEngine:
     self.Q = jnp.asarray(Q, dtype=self.dtype)
     self.params = params if params is not None else dict(spec.default_params)
 
-    # rewind ring (host lists; device arrays are immutable so no copies needed)
-    self.rewind_t: list[float] = []
-    self.rewind_states: list[tuple] = []
-    self.rewind_obscache: list[tuple] = []
+    # rewind checkpoint ring: native C++ when built, Python otherwise
+    # (runtime/rewind.py). Device arrays are immutable, so checkpoints hold
+    # references rather than the reference's np.copy snapshots.
+    self.ring = RewindRing(REWIND_TO_KEEP)
 
     self.init_state(x_initial, P_initial, None)
 
@@ -80,9 +76,7 @@ class FilterEngine:
     self.reset_rewind()
 
   def reset_rewind(self):
-    self.rewind_t = []
-    self.rewind_states = []
-    self.rewind_obscache = []
+    self.ring.clear()
 
   def state(self):
     return np.asarray(jax.device_get(self.x)).flatten()
@@ -111,27 +105,13 @@ class FilterEngine:
   def rewind(self, t):
     """Roll state back to just before t; return observations to replay
     (reference: ekf_sym.py:418-438)."""
-    idx = bisect_right(self.rewind_t, t)
-    assert self.rewind_t[idx - 1] <= t
-    assert self.rewind_t[idx] > t
-
-    self.filter_time = self.rewind_t[idx - 1]
-    self.x, self.P = self.rewind_states[idx - 1]
-
-    replay = self.rewind_obscache[idx:]
-    self.rewind_t = self.rewind_t[:idx]
-    self.rewind_states = self.rewind_states[:idx]
-    self.rewind_obscache = self.rewind_obscache[:idx]
+    t_restore, state, replay = self.ring.rewind(t)
+    self.filter_time = t_restore
+    self.x, self.P = state
     return replay
 
   def checkpoint(self, obs):
-    self.rewind_t.append(self.filter_time)
-    self.rewind_states.append((self.x, self.P))
-    self.rewind_obscache.append(obs)
-    if len(self.rewind_t) > REWIND_TO_KEEP:
-      self.rewind_t = self.rewind_t[-REWIND_TO_KEEP:]
-      self.rewind_states = self.rewind_states[-REWIND_TO_KEEP:]
-      self.rewind_obscache = self.rewind_obscache[-REWIND_TO_KEEP:]
+    self.ring.checkpoint(self.filter_time, (self.x, self.P), obs)
 
   # ------------------------------------------------------------------- steps
 
@@ -152,8 +132,7 @@ class FilterEngine:
     ekf_sym.py:464-482): too-old observations are rejected, in-window late
     observations trigger rewind + replay."""
     if self.filter_time is not None and t < self.filter_time:
-      if (len(self.rewind_t) == 0 or t < self.rewind_t[0]
-          or t < self.rewind_t[-1] - self.max_rewind_age):
+      if not self.ring.can_rewind(t, self.max_rewind_age):
         self.logger.error(
             f"observation too old at {t:.3f} with filter at "
             f"{self.filter_time:.3f}, ignoring")

@@ -1,0 +1,97 @@
+"""Rewind-ring tests: the native C++ RewindRing must agree with the
+pure-Python fallback on randomized checkpoint/rewind sequences (the
+dual-implementation pattern of the reference's test_compare, applied to the
+one host-side native component)."""
+
+import numpy as np
+import pytest
+
+from rednose_tpu.runtime import rewind as rw
+
+IMPLS = [rw.PyRewindRing]
+if rw.HAVE_NATIVE:
+  IMPLS.append(rw.NativeRewindRing)
+
+
+@pytest.mark.parametrize('impl', IMPLS)
+def test_basic_checkpoint_rewind(impl):
+  ring = impl(8)
+  for i in range(5):
+    ring.checkpoint(float(i), f's{i}', f'o{i}')
+  assert len(ring) == 5
+  assert ring.first_t() == 0.0 and ring.last_t() == 4.0
+
+  t0, state, replay = ring.rewind(2.5)
+  assert t0 == 2.0 and state == 's2'
+  assert replay == ['o3', 'o4']
+  assert len(ring) == 3 and ring.last_t() == 2.0
+
+
+@pytest.mark.parametrize('impl', IMPLS)
+def test_capacity_eviction(impl):
+  ring = impl(4)
+  for i in range(10):
+    ring.checkpoint(float(i), i, i)
+  assert len(ring) == 4
+  assert ring.first_t() == 6.0 and ring.last_t() == 9.0
+
+
+@pytest.mark.parametrize('impl', IMPLS)
+def test_can_rewind(impl):
+  ring = impl(16)
+  assert not ring.can_rewind(1.0, 1.0)
+  for i in range(5):
+    ring.checkpoint(float(i), i, i)
+  assert ring.can_rewind(3.5, 1.0)
+  assert not ring.can_rewind(-0.5, 100.0)  # older than the ring
+  assert not ring.can_rewind(2.0, 1.0)     # beyond max_rewind_age
+  assert ring.can_rewind(3.0, 1.0)
+
+
+@pytest.mark.parametrize('impl', IMPLS)
+def test_errors(impl):
+  ring = impl(4)
+  ring.checkpoint(1.0, 'a', 'b')
+  with pytest.raises(ValueError):
+    ring.checkpoint(0.5, 'a', 'b')  # time must be non-decreasing
+  with pytest.raises(ValueError):
+    ring.rewind(0.5)  # older than the ring
+
+
+def test_native_matches_python_randomized():
+  if not rw.HAVE_NATIVE:
+    pytest.skip('native extension not built')
+  rng = np.random.default_rng(0)
+  native, py = rw.NativeRewindRing(32), rw.PyRewindRing(32)
+  t = 0.0
+  for step in range(500):
+    if rng.random() < 0.8 or len(py) == 0:
+      t += float(rng.random())
+      native.checkpoint(t, ('s', t), ('o', t))
+      py.checkpoint(t, ('s', t), ('o', t))
+    else:
+      target = float(py.first_t() + rng.random() * (t - py.first_t()))
+      rn = native.rewind(target)
+      rp = py.rewind(target)
+      assert rn == (rp[0], rp[1], rp[2]), step
+      t = rp[0]
+    assert len(native) == len(py)
+    assert native.first_t() == py.first_t()
+    assert native.last_t() == py.last_t()
+
+
+def test_driver_uses_ring_out_of_order():
+  """End-to-end: the driver's rewind path through whichever ring is active
+  (already covered functionally by test_out_of_order; here we assert the
+  ring object is exercised)."""
+  from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind
+
+  kf = KinematicKalman()
+  for i, t in enumerate(np.arange(0.0, 0.5, 0.01)):
+    kf.predict_and_observe(t, ObservationKind.POSITION, [0.0])
+  n_before = len(kf.filter.ring)
+  kf.predict_and_observe(0.25, ObservationKind.POSITION, [0.1])  # rewind+replay
+  assert len(kf.filter.ring) >= n_before
+  assert kf.filter.predict_and_update_batch(
+      -10.0, ObservationKind.POSITION, [[0.0]],
+      np.full((1, 1, 1), 0.01)) is None  # too old -> rejected
