@@ -49,6 +49,11 @@ def predict(spec: FilterSpec, params, x: Array, P: Array, Q: Array,
   gets the full F P F^T; rows/cols coupling MSCKF clone states get one-sided
   F multiplication (clone states are static).
   """
+  with jax.named_scope(f"rednose/{spec.name}/predict"):
+    return _predict_impl(spec, params, x, P, Q, dt, normalize)
+
+
+def _predict_impl(spec, params, x, P, Q, dt, normalize):
   x_new = spec.f(params, x, dt)
   F = spec.F(params, x, dt)
   m = spec.dim_main_err
@@ -75,6 +80,11 @@ def update(spec: FilterSpec, kind: int, params, x: Array, P: Array,
   dz - ea_dim via complete QR (the reference's dynamic-dimension nullspace
   failure branch, ekf_sym.py:588-591, cannot occur here).
   """
+  with jax.named_scope(f"rednose/{spec.name}/update_{kind}"):
+    return _update_impl(spec, kind, params, x, P, z, R, ea, normalize)
+
+
+def _update_impl(spec, kind, params, x, P, z, R, ea, normalize):
   om = spec.obs[kind]
   h = om.h(params, x, ea)
   H = spec.H(kind, params, x, ea)

@@ -1,0 +1,58 @@
+"""Disk checkpoint / resume for filters and banks.
+
+The reference has no disk checkpointing (SURVEY.md §5): openpilot warm-starts
+by calling init_state with its own persisted state (ekf_sym.py:351-358). Here
+the filter state is a pytree, so checkpointing is a plain .npz round trip —
+save_filter/load_filter cover the single-stream engine (its (x, P, t) plus
+runtime params), save_bank/load_bank cover vmapped BankStates of any width.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.runtime.bank import BankState
+
+
+def save_filter(path, engine):
+  """Persist a FilterEngine's resumable state (x, P, filter_time, params)."""
+  leaves, treedef = jax.tree.flatten(engine.params)
+  np.savez(
+      path,
+      x=np.asarray(engine.x),
+      P=np.asarray(engine.P),
+      filter_time=np.asarray(
+          np.nan if engine.filter_time is None else engine.filter_time),
+      n_params=np.asarray(len(leaves)),
+      **{f"param_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+  )
+  return treedef  # caller keeps the treedef if params have structure
+
+
+def load_filter(path, engine, treedef=None):
+  """Restore a FilterEngine from save_filter output (rewind ring resets,
+  matching init_state semantics, ekf_sym.py:351-358)."""
+  with np.load(path) as data:
+    t = float(data["filter_time"])
+    engine.init_state(data["x"], data["P"], None if np.isnan(t) else t)
+    n = int(data["n_params"])
+    if treedef is not None and n:
+      leaves = [jnp.asarray(data[f"param_{i}"]) for i in range(n)]
+      engine.params = jax.tree.unflatten(treedef, leaves)
+  return engine
+
+
+def save_bank(path, state: BankState):
+  np.savez(path, x=np.asarray(state.x), P=np.asarray(state.P),
+           t=np.asarray(state.t))
+
+
+def load_bank(path, dtype=None) -> BankState:
+  with np.load(path) as data:
+    return BankState(
+        x=jnp.asarray(data["x"], dtype=dtype),
+        P=jnp.asarray(data["P"], dtype=dtype),
+        t=jnp.asarray(data["t"], dtype=dtype),
+    )

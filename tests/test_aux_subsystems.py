@@ -1,0 +1,110 @@
+"""Auxiliary-subsystem tests: disk checkpoint/resume, offline multipass
+smoothing, the filter registry, and numeric-health hooks (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from rednose_tpu import registry
+from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind
+from rednose_tpu.runtime import bank as bank_ops
+from rednose_tpu.runtime.checkpoint import (
+    load_bank, load_filter, save_bank, save_filter)
+from rednose_tpu.runtime.offline import Observation, multipass_smooth, replay_log
+from rednose_tpu.utils import profiling
+
+
+def _make_log(T=200, seed=0):
+  rng = np.random.default_rng(seed)
+  dt = 0.01
+  x, truth = 0.0, []
+  log = []
+  for i in range(T):
+    t = (i + 1) * dt
+    v = np.sin(t * 5)
+    truth.append(x)
+    log.append(Observation(t=t, kind=ObservationKind.POSITION,
+                           data=[rng.normal(x, 0.1)]))
+    x += v * dt
+  return log, np.array(truth)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+  log, _ = _make_log(50)
+  kf = KinematicKalman()
+  replay_log(kf, log[:25])
+  path = tmp_path / "ckpt.npz"
+  save_filter(path, kf.filter)
+  x_saved, P_saved, t_saved = kf.x.copy(), kf.P.copy(), kf.t
+
+  # diverge the original, then restore into a fresh engine
+  replay_log(kf, log[25:])
+  assert not np.allclose(kf.x, x_saved)
+
+  kf2 = KinematicKalman()
+  load_filter(path, kf2.filter)
+  np.testing.assert_allclose(kf2.x, x_saved)
+  np.testing.assert_allclose(kf2.P, P_saved)
+  assert kf2.t == t_saved
+
+  # both resume identically
+  replay_log(kf2, log[25:])
+  kf3 = KinematicKalman()
+  replay_log(kf3, log)
+  np.testing.assert_allclose(kf2.x, kf3.x, rtol=1e-12)
+
+
+def test_bank_checkpoint_roundtrip(tmp_path):
+  import jax.numpy as jnp
+
+  spec = KinematicKalman.build_spec()
+  state = bank_ops.init_bank(
+      spec, KinematicKalman.initial_x, np.diag(KinematicKalman.initial_P_diag),
+      batch=16, dtype=jnp.float64)
+  path = tmp_path / "bank.npz"
+  save_bank(path, state)
+  state2 = load_bank(path)
+  np.testing.assert_allclose(np.asarray(state2.x), np.asarray(state.x))
+  np.testing.assert_allclose(np.asarray(state2.P), np.asarray(state.P))
+
+
+def test_multipass_smoothing_improves():
+  log, truth = _make_log()
+  kf = KinematicKalman()
+  smoothed1, estimates = multipass_smooth(kf, log, passes=1)
+  kf2 = KinematicKalman()
+  smoothed2, _ = multipass_smooth(kf2, log, passes=2)
+
+  filt_pos = np.array([np.asarray(e[1]).reshape(-1)[0] for e in estimates])
+  s1 = np.array([s[0][0] for s in smoothed1])
+  s2 = np.array([s[0][0] for s in smoothed2])
+  rmse = lambda a: np.sqrt(np.mean((a - truth) ** 2))
+  assert rmse(s1) < rmse(filt_pos)
+  # the warm-started second pass must not be worse than the first
+  assert rmse(s2) <= rmse(s1) * 1.05
+
+
+def test_registry():
+  cls = registry.lookup('kinematic')
+  assert cls is KinematicKalman
+  assert set(registry.registered_filters()) >= {'kinematic', 'live'}
+  with pytest.raises(KeyError):
+    registry.lookup('nonexistent')
+  with pytest.raises(ValueError):
+    registry.register(type('Anon', (), {}))
+
+
+def test_assert_finite():
+  profiling.assert_finite({'x': np.ones(3)})
+  with pytest.raises(FloatingPointError):
+    profiling.assert_finite({'x': np.array([1.0, np.nan])})
+
+
+def test_finite_flag_traced():
+  import jax
+  import jax.numpy as jnp
+
+  flag = jax.jit(profiling.finite_or_nan_flag)({'a': jnp.ones(4)})
+  assert bool(flag)
+  flag = jax.jit(profiling.finite_or_nan_flag)(
+      {'a': jnp.array([1.0, jnp.inf])})
+  assert not bool(flag)
