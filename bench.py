@@ -5,6 +5,9 @@ fused Pallas scan kernel (BASELINE.json "configs" item 3).
 Metric: fused predict+update steps/sec/chip over the whole (T x B) workload.
 Baseline target (BASELINE.json "north_star"): 10M steps/sec/chip.
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+BENCH_MODEL=live benchmarks the generic vmapped path on the flagship 23/22-dim
+live_kf ESKF bank instead (secondary config, BASELINE.json item 2).
 """
 
 import json
@@ -28,6 +31,56 @@ CHAIN = int(os.environ.get("BENCH_CHAIN", 16))
 
 def log(*a):
   print(*a, file=sys.stderr, flush=True)
+
+
+def bench_live_bank():
+  """Secondary config: generic vmapped+scanned live_kf ESKF bank (22x22
+  covariance math through XLA, no hand kernel)."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.live import LiveKalman, ObservationKind
+  from rednose_tpu.runtime import bank as bank_ops
+
+  B = int(os.environ.get("BENCH_BANK", 1024))
+  T = int(os.environ.get("BENCH_STEPS", 256))
+  spec = LiveKalman.build_spec()
+  dtype = jnp.float32
+  state = bank_ops.init_bank(
+      spec, LiveKalman.initial_x, np.diag(LiveKalman.initial_P_diag),
+      batch=B, dtype=dtype)
+  Q = jnp.asarray(LiveKalman.Q, dtype=dtype)
+  dts = jnp.full((T,), 0.01, dtype=dtype)
+  key = jax.random.key(0)
+  zs = jnp.asarray(LiveKalman.initial_x[0:3], dtype=dtype) + \
+      5.0 * jax.random.normal(key, (T, B, 3), dtype=dtype)
+  Rs = jnp.broadcast_to(jnp.asarray(np.diag([25.0] * 3), dtype=dtype),
+                        (T, B, 3, 3))
+  chain_n = int(os.environ.get("BENCH_CHAIN", 8))
+
+  @jax.jit
+  def chain(st, zs):
+    for _ in range(chain_n):
+      st, _ = bank_ops.run_bank(
+          spec, ObservationKind.ECEF_POS, {}, st, Q, dts, zs, Rs)
+    return st
+
+  out = jax.block_until_ready(chain(state, zs))
+  times = []
+  for _ in range(REPS):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(chain(state, zs))
+    times.append(time.perf_counter() - t0)
+  best = min(times)
+  steps_per_sec = (B * T * chain_n) / best
+  log(f"live bank: best {best*1e3:.2f} ms for {chain_n} chained scans -> "
+      f"{steps_per_sec/1e6:.2f}M steps/s")
+  print(json.dumps({
+      "metric": "live_eskf_bank_predict_update_throughput",
+      "value": round(steps_per_sec, 1),
+      "unit": "steps/sec/chip",
+      "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }))
 
 
 def main():
@@ -84,4 +137,7 @@ def main():
 
 
 if __name__ == "__main__":
-  main()
+  if os.environ.get("BENCH_MODEL", "kinematic") == "live":
+    bench_live_bank()
+  else:
+    main()

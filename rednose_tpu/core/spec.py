@@ -103,6 +103,12 @@ class FilterSpec:
   # Default runtime-tunable parameter pytree (replaces reference global_vars).
   default_params: Any = dataclasses.field(default_factory=dict)
 
+  # Named auxiliary jittable functions shipped with the filter (TPU-native
+  # analog of gen_code's extra_routines, ekf_sym.py:109-113, exposed at
+  # runtime like EKFSym::get_extra_routine, ekf_sym.cc:221-223).
+  extra_routines: Mapping[str, Callable] = dataclasses.field(
+      default_factory=dict)
+
   def __post_init__(self):
     if self.dim_main is None:
       object.__setattr__(self, "dim_main", self.dim_x)

@@ -33,6 +33,15 @@ Array = Any
 MAHA_R_INFLATION = 1.0e16
 
 
+def _symmetrize(P: Array) -> Array:
+  """Covariance conditioning: roundoff asymmetry compounds over sequential
+  float32 updates until P goes indefinite and gains explode (the reference
+  never hits this because it is float64-only; our TPU production dtype is
+  float32). Enforcing symmetry after every covariance-modifying op keeps the
+  Joseph form's PSD guarantee effective."""
+  return 0.5 * (P + P.T)
+
+
 def _solve(a: Array, b: Array) -> Array:
   """Small linear solve with a fast path for 1x1 systems (reference:
   ekf_sym.py:14-18 `solve`)."""
@@ -49,7 +58,11 @@ def predict(spec: FilterSpec, params, x: Array, P: Array, Q: Array,
   gets the full F P F^T; rows/cols coupling MSCKF clone states get one-sided
   F multiplication (clone states are static).
   """
-  with jax.named_scope(f"rednose/{spec.name}/predict"):
+  # full-f32 matmuls: TPU's default (bf16-based) matmul precision visibly
+  # corrupts covariance propagation; exactness vs the f64 oracle is a
+  # framework invariant (tests/test_precision.py).
+  with jax.named_scope(f"rednose/{spec.name}/predict"), \
+       jax.default_matmul_precision('float32'):
     return _predict_impl(spec, params, x, P, Q, dt, normalize)
 
 
@@ -65,7 +78,7 @@ def _predict_impl(spec, params, x, P, Q, dt, normalize):
     P_new = P_new.at[:m, :m].set(Fm @ P[:m, :m] @ Fm.T)
     P_new = P_new.at[:m, m:].set(Fm @ P[:m, m:])
     P_new = P_new.at[m:, :m].set(P[m:, :m] @ Fm.T)
-  P_new = P_new + dt * Q
+  P_new = _symmetrize(P_new + dt * Q)
   if normalize:
     x_new = normalize_slices(x_new, spec.quaternion_idxs)
   return x_new, P_new
@@ -80,7 +93,8 @@ def update(spec: FilterSpec, kind: int, params, x: Array, P: Array,
   dz - ea_dim via complete QR (the reference's dynamic-dimension nullspace
   failure branch, ekf_sym.py:588-591, cannot occur here).
   """
-  with jax.named_scope(f"rednose/{spec.name}/update_{kind}"):
+  with jax.named_scope(f"rednose/{spec.name}/update_{kind}"), \
+       jax.default_matmul_precision('float32'):
     return _update_impl(spec, kind, params, x, P, z, R, ea, normalize)
 
 
@@ -117,7 +131,7 @@ def _update_impl(spec, kind, params, x, P, z, R, ea, normalize):
   I_KH = jnp.eye(spec.dim_err, dtype=P.dtype) - K @ H
   dx = K @ y
   x_new = spec.err(params, x, dx)  # error injection, ekf_c.c:108-112
-  P_new = I_KH @ P @ I_KH.T + K @ R @ K.T  # Joseph form, ekf_c.c:115
+  P_new = _symmetrize(I_KH @ P @ I_KH.T + K @ R @ K.T)  # Joseph, ekf_c.c:115
   if normalize:
     x_new = normalize_slices(x_new, spec.quaternion_idxs)
   return x_new, P_new, y
@@ -189,7 +203,7 @@ def augment(spec: FilterSpec, x: Array, P: Array):
   to_mult = jnp.zeros((spec.dim_err, spec.dim_err - d4), dtype=P.dtype)
   to_mult = to_mult.at[:-d4, :].set(jnp.eye(spec.dim_err - d4, dtype=P.dtype))
   to_mult = to_mult.at[-d4:, :d4].set(jnp.eye(d4, dtype=P.dtype))
-  P_new = to_mult @ P_reduced @ to_mult.T
+  P_new = _symmetrize(to_mult @ P_reduced @ to_mult.T)
   return x_new, P_new
 
 

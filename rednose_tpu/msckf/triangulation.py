@@ -62,7 +62,11 @@ def gauss_newton(res_fun, param0):
   def step(param):
     r = res_fun(param)
     J = jac_fun(param)
-    delta = jnp.linalg.solve(J.T @ J, J.T @ r)
+    # least-squares step via QR: same solution as the reference's
+    # (J^T J)^{-1} J^T r normal equations (compute_pos.c:22) but without
+    # squaring the condition number — matters for float32 on TPU.
+    q, rr = jnp.linalg.qr(J)
+    delta = jax.scipy.linalg.solve_triangular(rr, q.T @ r, lower=False)
     return param - delta, jnp.sum(delta * delta)
 
   def cond(carry):
@@ -91,8 +95,10 @@ def compute_pos(to_c, poses, img_positions):
       [img_positions[-1], jnp.full((1,), 0.1, dtype=img_positions.dtype)])
   res_fun = functools.partial(reprojection_residual, to_c, poses,
                               img_positions)
-  param, delta_sq = gauss_newton(res_fun, param0)
-  pos = feature_ecef(to_c, poses[-1], param)
+  # full-f32 matmuls: TPU default matmul precision stalls GN convergence
+  with jax.default_matmul_precision('float32'):
+    param, delta_sq = gauss_newton(res_fun, param0)
+    pos = feature_ecef(to_c, poses[-1], param)
   return pos, delta_sq <= STEP_TOL_SQ
 
 

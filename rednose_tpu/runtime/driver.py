@@ -93,6 +93,15 @@ class FilterEngine:
   def get_augment_times(self):
     return self.augment_times
 
+  def get_extra_routine(self, name):
+    """Fetch a spec-shipped auxiliary function, jitted (reference:
+    EKFSym::get_extra_routine, ekf_sym.cc:221-223)."""
+    if name not in self.spec.extra_routines:
+      raise KeyError(
+          f"no extra routine {name!r}; available: "
+          f"{sorted(self.spec.extra_routines)}")
+    return jax.jit(self.spec.extra_routines[name])
+
   def set_global(self, name, val):
     """Runtime-tunable parameter update (replaces the reference's C-global
     set_<var> setters, ekf_sym.py:415-416). Params are traced arguments, so

@@ -1,0 +1,115 @@
+"""On-device streaming: a heterogeneous observation log as ONE lax.scan.
+
+The host driver (runtime/driver.py) dispatches one jitted step per
+observation — the right shape for online use (data arrives one sample at a
+time), but for offline replay of a recorded log it pays a host->device
+dispatch per observation. This module compiles the WHOLE log into a single
+XLA program: `lax.scan` over time with `lax.switch` over observation kinds.
+
+Heterogeneous measurement dimensions are handled by padding every observation
+to the largest dz and giving padded slots a huge variance (PAD_R = 1e16) so
+they carry zero information — the same soft-nulling trick the reference uses
+for Mahalanobis rejection (ekf_c.c:92). Padded rows of H are exactly zero, so
+with R_pad on the diagonal the padded slots change neither gain nor
+covariance (verified to oracle precision in tests/test_scan_stream.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.core import step as step_ops
+from rednose_tpu.core.spec import FilterSpec
+
+Array = Any
+
+PAD_R = 1.0e16
+
+
+def _padded_update(spec: FilterSpec, kind: int, max_dz: int, params, x, P,
+                   z_pad, R_pad, ea):
+  """One update with z/R padded to max_dz: real h/H rows for this kind's dz,
+  zero rows + huge R for the padding (information-free)."""
+  om = spec.obs[kind]
+  dz = om.dz
+
+  def h_padded(params, xx, ee):
+    h = om.h(params, xx, ee)
+    return jnp.concatenate([h, jnp.zeros((max_dz - dz,), dtype=h.dtype)])
+
+  import dataclasses
+
+  om_pad = dataclasses.replace(om, h=h_padded, dz=max_dz,
+                               maha_thresh=om.maha_thresh)
+  spec_pad = dataclasses.replace(spec, obs={**dict(spec.obs), kind: om_pad})
+  return step_ops.update(spec_pad, kind, params, x, P, z_pad, R_pad, ea)
+
+
+def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
+  """Compile-time setup: returns (scan_fn, kind_index) where scan_fn runs an
+  entire mixed-kind log on device.
+
+  kinds: the observation kinds that may appear in the stream (static).
+  scan_fn(params, x, P, Q, t0, ts, kind_idx, zs, Rs, eas) ->
+      ((x, P, t), (xs, Ps)) with
+    ts (T,) observation timestamps (non-decreasing; rewind is a host concern),
+    kind_idx (T,) int32 index into `kinds`,
+    zs (T, max_dz) padded measurements,
+    Rs (T, max_dz, max_dz) padded noise (PAD_R diagonal on padded slots),
+    eas (T, max_ea) padded extra args.
+  """
+  kinds = tuple(kinds)
+  max_dz = max(spec.obs[k].dz for k in kinds)
+  max_ea = max(max(spec.obs[k].ea_dim, 1) for k in kinds)
+
+  branches = tuple(
+      functools.partial(_padded_update, spec, k, max_dz) for k in kinds)
+
+  def scan_fn(params, x, P, Q, t0, ts, kind_idx, zs, Rs, eas):
+    def body(carry, inp):
+      x, P, t_prev = carry
+      t, ki, z, R, ea = inp
+      dt = t - t_prev
+      x, P = step_ops.predict(spec, params, x, P, Q, dt)
+      x, P, _ = jax.lax.switch(
+          ki, branches, params, x, P, z, R, ea[:max_ea])
+      return (x, P, t), (x, P)
+
+    return jax.lax.scan(body, (x, P, t0), (ts, kind_idx, zs, Rs, eas))
+
+  return jax.jit(scan_fn), {k: i for i, k in enumerate(kinds)}
+
+
+def pad_log(spec: FilterSpec, kinds: Sequence[int], log,
+            dtype=np.float64):
+  """Host-side packing of a list of (t, kind, z, R, ea) into the padded
+  arrays build_scan_stream expects. R defaults per-kind are the caller's
+  concern; here R must be given per record."""
+  kinds = tuple(kinds)
+  kind_to_idx = {k: i for i, k in enumerate(kinds)}
+  max_dz = max(spec.obs[k].dz for k in kinds)
+  max_ea = max(max(spec.obs[k].ea_dim, 1) for k in kinds)
+  T = len(log)
+  ts = np.zeros((T,), dtype=dtype)
+  ki = np.zeros((T,), dtype=np.int32)
+  zs = np.zeros((T, max_dz), dtype=dtype)
+  Rs = np.zeros((T, max_dz, max_dz), dtype=dtype)
+  eas = np.zeros((T, max_ea), dtype=dtype)
+  for i, rec in enumerate(log):
+    t, kind, z, R = rec[0], rec[1], np.asarray(rec[2]).reshape(-1), rec[3]
+    ea = np.asarray(rec[4]).reshape(-1) if len(rec) > 4 and rec[4] is not None \
+        else np.zeros(0)
+    dz = spec.obs[kind].dz
+    assert z.shape[0] == dz, (kind, z.shape)
+    ts[i] = t
+    ki[i] = kind_to_idx[kind]
+    zs[i, :dz] = z
+    Rs[i] = np.eye(max_dz) * PAD_R
+    Rs[i, :dz, :dz] = np.asarray(R).reshape(dz, dz)
+    eas[i, :ea.shape[0]] = ea
+  return ts, ki, zs, Rs, eas

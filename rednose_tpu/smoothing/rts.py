@@ -62,6 +62,13 @@ def rts_smooth(spec: FilterSpec, params, x_pred, P_pred, x_post, P_post, t,
   state block is smoothed; MSCKF augment slots pass through unchanged
   (reference: ekf_sym.py:677-686 slices [:d1]/[:d2]).
   """
+  with jax.default_matmul_precision('float32'):  # see core/step.py note
+    return _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
+                            norm_quats)
+
+
+def _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
+                     norm_quats):
   d1, d2 = spec.dim_main, spec.dim_main_err
   T = x_post.shape[0]
   dts = t[1:] - t[:-1]
@@ -131,6 +138,13 @@ def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
   additive error states (matches `rts_smooth` to roundoff); first-order in the
   error state for ESKF specs.
   """
+  with jax.default_matmul_precision('float32'):  # see core/step.py note
+    return _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post,
+                                     P_post, t, norm_quats)
+
+
+def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
+                              t, norm_quats):
   d1, d2 = spec.dim_main, spec.dim_main_err
   T = x_post.shape[0]
   dts = t[1:] - t[:-1]

@@ -108,3 +108,20 @@ def test_finite_flag_traced():
   flag = jax.jit(profiling.finite_or_nan_flag)(
       {'a': jnp.array([1.0, jnp.inf])})
   assert not bool(flag)
+
+
+def test_extra_routines():
+  import dataclasses
+  import jax.numpy as jnp
+
+  spec = KinematicKalman.build_spec()
+  spec2 = dataclasses.replace(
+      spec, obs=dict(spec.obs),
+      extra_routines={'double_pos': lambda x: 2.0 * x[0]})
+  from rednose_tpu.runtime.driver import FilterEngine
+  eng = FilterEngine(spec2, KinematicKalman.Q, KinematicKalman.initial_x,
+                     np.diag(KinematicKalman.initial_P_diag))
+  fn = eng.get_extra_routine('double_pos')
+  assert float(fn(jnp.asarray([3.0, 1.0]))) == 6.0
+  with pytest.raises(KeyError):
+    eng.get_extra_routine('nope')
