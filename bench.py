@@ -34,12 +34,13 @@ def log(*a):
 
 
 def bench_live_bank():
-  """Secondary config: generic vmapped+scanned live_kf ESKF bank (22x22
-  covariance math through XLA, no hand kernel)."""
+  """Secondary config: lane-major live_kf ESKF bank (ops/lane_bank.py —
+  unrolled small-matrix covariance math on vector lanes)."""
   import jax
   import jax.numpy as jnp
 
   from rednose_tpu.models.live import LiveKalman, ObservationKind
+  from rednose_tpu.ops import lane_bank
   from rednose_tpu.runtime import bank as bank_ops
 
   B = int(os.environ.get("BENCH_BANK", 1024))
@@ -51,30 +52,30 @@ def bench_live_bank():
       batch=B, dtype=dtype)
   Q = jnp.asarray(LiveKalman.Q, dtype=dtype)
   dts = jnp.full((T,), 0.01, dtype=dtype)
-  key = jax.random.key(0)
   zs = jnp.asarray(LiveKalman.initial_x[0:3], dtype=dtype) + \
-      5.0 * jax.random.normal(key, (T, B, 3), dtype=dtype)
-  Rs = jnp.broadcast_to(jnp.asarray(np.diag([25.0] * 3), dtype=dtype),
-                        (T, B, 3, 3))
+      5.0 * jax.random.normal(jax.random.key(0), (T, B, 3), dtype=dtype)
+  R = jnp.asarray(np.diag([25.0] * 3), dtype=dtype)
+  P0 = lane_bank.to_lane(state.P)
   chain_n = int(os.environ.get("BENCH_CHAIN", 8))
 
+  # scalar output forces a true device sync through the relay
   @jax.jit
-  def chain(st, zs):
+  def chain(x, P, zs):
     for _ in range(chain_n):
-      st, _ = bank_ops.run_bank(
-          spec, ObservationKind.ECEF_POS, {}, st, Q, dts, zs, Rs)
-    return st
+      x, P = lane_bank.lane_bank_scan(
+          spec, ObservationKind.ECEF_POS, {}, x, P, Q, dts, zs, R)
+    return jnp.sum(x) + jnp.sum(P)
 
-  out = jax.block_until_ready(chain(state, zs))
+  float(chain(state.x, P0, zs))
   times = []
   for _ in range(REPS):
     t0 = time.perf_counter()
-    out = jax.block_until_ready(chain(state, zs))
+    float(chain(state.x, P0, zs))
     times.append(time.perf_counter() - t0)
   best = min(times)
   steps_per_sec = (B * T * chain_n) / best
-  log(f"live bank: best {best*1e3:.2f} ms for {chain_n} chained scans -> "
-      f"{steps_per_sec/1e6:.2f}M steps/s")
+  log(f"live lane bank: best {best*1e3:.2f} ms for {chain_n} chained scans "
+      f"-> {steps_per_sec/1e6:.2f}M steps/s")
   print(json.dumps({
       "metric": "live_eskf_bank_predict_update_throughput",
       "value": round(steps_per_sec, 1),

@@ -43,10 +43,42 @@ def _symmetrize(P: Array) -> Array:
 
 
 def _solve(a: Array, b: Array) -> Array:
-  """Small linear solve with a fast path for 1x1 systems (reference:
-  ekf_sym.py:14-18 `solve`)."""
-  if a.shape[0] == 1 and a.shape[1] == 1:
+  """Small linear solve, closed-form for d <= 3.
+
+  The reference's C kernel LU-solves tiny systems with Eigen (ekf_c.c:101);
+  on TPU, batched LU-with-pivoting is catastrophically slow (it serializes on
+  the scalar unit), while the adjugate closed form is a handful of fused
+  elementwise ops that vmap freely over a bank axis — SURVEY.md §7 step 4.
+  Every shipped observation kind has dz <= 3 after projection. Fast path for
+  1x1 mirrors ekf_sym.py:14-18.
+  """
+  d = a.shape[0]
+  if d == 1:
     return b / a[0, 0]
+  if d == 2:
+    det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    inv = jnp.stack([
+        jnp.stack([a[1, 1], -a[0, 1]]),
+        jnp.stack([-a[1, 0], a[0, 0]]),
+    ]) / det
+    return inv @ b
+  if d == 3:
+    c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+    c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+    c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+    c10 = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
+    c11 = a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]
+    c12 = a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]
+    c20 = a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]
+    c21 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
+    c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
+    inv = jnp.stack([
+        jnp.stack([c00, c10, c20]),
+        jnp.stack([c01, c11, c21]),
+        jnp.stack([c02, c12, c22]),
+    ]) / det
+    return inv @ b
   return jnp.linalg.solve(a, b)
 
 

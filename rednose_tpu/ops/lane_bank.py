@@ -1,0 +1,171 @@
+"""Lane-major generic filter banks: any spec, near-VPU-speed covariance math.
+
+The straightforward bank (runtime/bank.py: vmap over a leading batch axis)
+leaves XLA to execute batched 22x22 matmuls, which it does at <1% of peak —
+tiny matrices can't tile the 128x128 MXU, and in-loop-produced operands get
+poor layouts. This module restructures the SAME math the way the kinematic
+Pallas kernel does, generalized to any FilterSpec:
+
+  * covariance lives as (d, d, B) with the bank axis B on vector lanes,
+  * every small-matrix product is unrolled into broadcast multiply-adds over
+    (d, d, B) slabs — pure elementwise VPU work, no MXU, no layout traps
+    (measured 1.36 TFLOP/s vs 0.43 for batched einsum on v5e),
+  * innovation covariance S is inverted in closed form for dz <= 3 (every
+    shipped kind; the reference hardcodes the same bound, ekf_sym.py:151).
+
+Semantics are identical to core/step.py (same Joseph form, Mahalanobis gate,
+ESKF H_mod chain) — parity is asserted in tests/test_lane_bank.py. MSCKF
+feature kinds are not supported here (QR nullspace does not unroll cleanly);
+use runtime/bank.py for those.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rednose_tpu.core.spec import FilterSpec
+from rednose_tpu.core.step import MAHA_R_INFLATION
+from rednose_tpu.ops.quaternion import normalize_slices
+
+Array = Any
+
+
+def _matmul_ll(A, B_):
+  """(m, k, B) @ (k, n, B) -> (m, n, B), unrolled over k."""
+  k = A.shape[1]
+  return sum(A[:, i, None, :] * B_[None, i, :, :] for i in range(k))
+
+
+def _matmul_lt(A, B_):
+  """(m, k, B) @ (n, k, B)^T -> (m, n, B), unrolled over k."""
+  k = A.shape[1]
+  return sum(A[:, i, None, :] * B_[None, :, i, :] for i in range(k))
+
+
+def _sym(P):
+  return 0.5 * (P + jnp.swapaxes(P, 0, 1))
+
+
+def _inv_small(S):
+  """Closed-form inverse of (d, d, B) for d <= 3 (adjugate), elementwise on
+  lanes — the TPU replacement for the reference's Eigen LU (ekf_c.c:101)."""
+  d = S.shape[0]
+  if d == 1:
+    return 1.0 / S
+  if d == 2:
+    det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+    row0 = jnp.stack([S[1, 1], -S[0, 1]])
+    row1 = jnp.stack([-S[1, 0], S[0, 0]])
+    return jnp.stack([row0, row1]) / det
+  if d == 3:
+    c = [[S[1, 1] * S[2, 2] - S[1, 2] * S[2, 1],
+          S[0, 2] * S[2, 1] - S[0, 1] * S[2, 2],
+          S[0, 1] * S[1, 2] - S[0, 2] * S[1, 1]],
+         [S[1, 2] * S[2, 0] - S[1, 0] * S[2, 2],
+          S[0, 0] * S[2, 2] - S[0, 2] * S[2, 0],
+          S[0, 2] * S[1, 0] - S[0, 0] * S[1, 2]],
+         [S[1, 0] * S[2, 1] - S[1, 1] * S[2, 0],
+          S[0, 1] * S[2, 0] - S[0, 0] * S[2, 1],
+          S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]]]
+    det = S[0, 0] * c[0][0] + S[0, 1] * c[1][0] + S[0, 2] * c[2][0]
+    return jnp.stack([jnp.stack(row) for row in c]) / det
+  raise NotImplementedError(f"closed-form inverse only for d<=3, got {d}")
+
+
+def lane_predict(spec: FilterSpec, params, x, P, Q, dt):
+  """Bank predict: x (B, dim_x), P (dim_err, dim_err, B) lane-major.
+
+  Implements ekf_c.c:8-33 semantics (full F P F^T; MSCKF block structure not
+  supported here — see module docstring)."""
+  x_new = jax.vmap(lambda xx: spec.f(params, xx, dt))(x)
+  F = jax.vmap(lambda xx: spec.F(params, xx, dt), out_axes=2)(x)  # (d,d,B)
+  P_new = _matmul_lt(_matmul_ll(F, P), F)
+  P_new = _sym(P_new) + (dt * Q)[:, :, None]
+  x_new = jax.vmap(lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
+  return x_new, P_new
+
+
+def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
+  """Bank update: z (B, dz), R (dz, dz) shared or (dz, dz, B) lane-major.
+
+  Same math as core/step.py update (innovation, ESKF H.H_mod, Mahalanobis
+  R-inflation gate, closed-form S^-1, Joseph form), restructured lane-major.
+  """
+  om = spec.obs[kind]
+  dz, de = om.dz, spec.dim_err
+  ea0 = jnp.zeros((max(om.ea_dim, 1),), dtype=x.dtype)
+
+  h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)  # (dz, B)
+  y = z.T - h
+
+  def H_of(xx):
+    H = spec.H(kind, params, xx, ea0)
+    if spec.is_eskf:
+      H = H @ spec.H_mod_at(params, xx)
+    return H
+
+  H = jax.vmap(H_of, out_axes=2)(x)  # (dz, de, B)
+  if R.ndim == 2:
+    R = R[:, :, None]
+
+  PHt = _matmul_lt(P, H)  # (de, dz, B)
+  S = _matmul_ll(H, PHt) + R  # (dz, dz, B)
+
+  if om.maha_test:
+    Sinv0 = _inv_small(S)
+    dist = sum(y[i] * Sinv0[i, j] * y[j] for i in range(dz) for j in range(dz))
+    R = jnp.where(dist > om.maha_thresh, MAHA_R_INFLATION * R, R)
+    S = _matmul_ll(H, PHt) + R
+
+  K = _matmul_ll(PHt, _inv_small(S))  # (de, dz, B)
+  dx = sum(K[:, i, :] * y[i][None, :] for i in range(dz))  # (de, B)
+
+  I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)
+  P_new = _matmul_lt(_matmul_ll(I_KH, P), I_KH) + \
+      _matmul_lt(_matmul_ll(K, R), K)
+  P_new = _sym(P_new)
+
+  x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
+  x_new = jax.vmap(lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
+  return x_new, P_new, y.T
+
+
+def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
+                   R):
+  """Scan T fused predict+update steps over the lane-major bank.
+
+  Args: x (B, dim_x), P (dim_err, dim_err, B), dts (T,), zs (T, B, dz),
+  R (dz, dz) shared across bank and time (per-step R variation belongs to the
+  generic path). Returns (x, P) finals.
+  """
+  assert not spec.is_msckf, "lane bank does not support MSCKF block structure"
+  Rl = jnp.asarray(R, dtype=x.dtype)
+
+  def body(carry, inp):
+    x, P = carry
+    dt, z = inp
+    x, P = lane_predict(spec, params, x, P, Q, dt)
+    x, P, _ = lane_update(spec, kind, params, x, P, z, Rl)
+    return (x, P), None
+
+  (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs))
+  return x, P
+
+
+@functools.lru_cache(maxsize=None)
+def jit_lane_bank_scan(spec: FilterSpec, kind: int):
+  return jax.jit(functools.partial(lane_bank_scan, spec, kind))
+
+
+def to_lane(P_batch):
+  """(B, d, d) -> (d, d, B)."""
+  return jnp.transpose(P_batch, (1, 2, 0))
+
+
+def from_lane(P_lane):
+  """(d, d, B) -> (B, d, d)."""
+  return jnp.transpose(P_lane, (2, 0, 1))
