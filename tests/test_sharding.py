@@ -65,3 +65,28 @@ def test_jit_sharded_step(mesh):
   assert new_state.x.shape == state.x.shape
   assert len(new_state.x.sharding.device_set) == 8
   assert y.shape == (state.batch, 1)
+
+
+def test_lane_bank_sharded(mesh):
+  """The lane-major generic bank (B on the LAST axis) shards over the mesh
+  with zero collectives and matches the unsharded run."""
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  from rednose_tpu.ops import lane_bank
+
+  spec, state, Q, dts, zs, Rs = _workload(T=16, B=64)
+  R = jnp.asarray(np.atleast_2d(0.1**2))
+  P0 = lane_bank.to_lane(state.P)
+
+  ref_x, ref_P = lane_bank.lane_bank_scan(
+      spec, ObservationKind.POSITION, {}, state.x, P0, Q, dts, zs, R)
+
+  sh_last = NamedSharding(mesh, P(None, None, shard_ops.BANK_AXIS))
+  x_sh = jax.device_put(state.x, NamedSharding(mesh, P(shard_ops.BANK_AXIS)))
+  P_sh = jax.device_put(P0, sh_last)
+  zs_sh = jax.device_put(zs, NamedSharding(mesh, P(None, shard_ops.BANK_AXIS)))
+  fn = lane_bank.jit_lane_bank_scan(spec, ObservationKind.POSITION)
+  sh_x, sh_P = fn({}, x_sh, P_sh, Q, dts, zs_sh, R)
+  np.testing.assert_allclose(np.asarray(sh_x), np.asarray(ref_x), rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(sh_P), np.asarray(ref_P), rtol=1e-12)
+  assert len(sh_x.sharding.device_set) == 8
