@@ -84,6 +84,65 @@ def bench_live_bank():
   }))
 
 
+def bench_rts():
+  """Third config (BASELINE.json item 5): offline RTS smoothing of a live_kf
+  log — sequential lax.scan backward pass vs the O(log T) parallel-in-time
+  associative scan, both fully on device."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.live import LiveKalman, ObservationKind as K
+  from rednose_tpu.runtime.scan import build_scan_stream, PAD_R
+  from rednose_tpu.smoothing import rts
+
+  T = int(os.environ.get("BENCH_STEPS", 8192))
+  spec = LiveKalman.build_spec()
+  dtype = jnp.float32
+
+  # generate a T-step live_kf log fully on device via the stream scan
+  kinds = (K.ECEF_POS, K.NO_ROT)
+  scan_fn, _ = build_scan_stream(spec, kinds)
+  pos0 = jnp.asarray(LiveKalman.initial_x[0:3], dtype)
+  ts = (1 + jnp.arange(T, dtype=dtype)) * 0.01
+  ki = (jnp.arange(T) % 2).astype(jnp.int32)
+  key = jax.random.key(0)
+  zs = jnp.where(ki[:, None] == 0,
+                 pos0 + jax.random.normal(key, (T, 3), dtype) * 1.0,
+                 jnp.zeros((T, 3), dtype))
+  R_pos = jnp.asarray(np.diag([25.0] * 3), dtype)
+  R_rot = jnp.asarray(np.diag([0.00025**2] * 3), dtype)
+  Rs = jnp.where((ki == 0)[:, None, None], R_pos, R_rot)
+  eas = jnp.zeros((T, 1), dtype)
+  _, (x_pred, P_pred, x_post, P_post) = jax.block_until_ready(scan_fn(
+      {}, jnp.asarray(LiveKalman.initial_x, dtype),
+      jnp.asarray(np.diag(LiveKalman.initial_P_diag), dtype),
+      jnp.asarray(LiveKalman.Q, dtype), jnp.asarray(0.0, dtype),
+      ts, ki, zs, Rs, eas))
+
+  def timed(fn):
+    f = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
+    args = ({}, x_pred, P_pred, x_post, P_post, ts)
+    float(f(*args))
+    times = []
+    for _ in range(REPS):
+      t0 = time.perf_counter()
+      float(f(*args))
+      times.append(time.perf_counter() - t0)
+    return min(times)
+
+  t_seq = timed(lambda p, *a: rts.rts_smooth(spec, p, *a, norm_quats=True))
+  t_par = timed(
+      lambda p, *a: rts.rts_smooth_parallel(spec, p, *a, norm_quats=True))
+  log(f"rts T={T}: sequential {t_seq*1e3:.1f} ms, parallel {t_par*1e3:.1f} ms"
+      f" ({t_seq/t_par:.1f}x)")
+  print(json.dumps({
+      "metric": "live_rts_parallel_smoother_throughput",
+      "value": round(T / t_par, 1),
+      "unit": "smoothed steps/sec/chip",
+      "vs_baseline": round(t_seq / t_par, 3),  # speedup over sequential
+  }))
+
+
 def main():
   import jax
   import jax.numpy as jnp
@@ -138,7 +197,10 @@ def main():
 
 
 if __name__ == "__main__":
-  if os.environ.get("BENCH_MODEL", "kinematic") == "live":
+  model = os.environ.get("BENCH_MODEL", "kinematic")
+  if model == "live":
     bench_live_bank()
+  elif model == "rts":
+    bench_rts()
   else:
     main()

@@ -75,10 +75,12 @@ def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
       x, P, t_prev = carry
       t, ki, z, R, ea = inp
       dt = t - t_prev
-      x, P = step_ops.predict(spec, params, x, P, Q, dt)
+      x_pred, P_pred = step_ops.predict(spec, params, x, P, Q, dt)
       x, P, _ = jax.lax.switch(
-          ki, branches, params, x, P, z, R, ea[:max_ea])
-      return (x, P, t), (x, P)
+          ki, branches, params, x_pred, P_pred, z, R, ea[:max_ea])
+      # per-step (pred, post) pairs: exactly the smoother's inputs
+      # (the device-side half of the driver's 9-tuple Estimate)
+      return (x, P, t), (x_pred, P_pred, x, P)
 
     return jax.lax.scan(body, (x, P, t0), (ts, kind_idx, zs, Rs, eas))
 

@@ -43,7 +43,7 @@ def test_scan_stream_matches_driver_mixed_kinds():
   spec = LiveKalman.build_spec()
   scan_fn, _ = build_scan_stream(spec, kinds)
   ts, ki, zs, Rs, eas = pad_log(spec, kinds, log)
-  (x_f, P_f, t_f), (xs, Ps) = scan_fn(
+  (x_f, P_f, t_f), (x_preds, P_preds, xs, Ps) = scan_fn(
       {}, jnp.asarray(x0), jnp.asarray(np.diag(LiveKalman.initial_P_diag)),
       jnp.asarray(LiveKalman.Q), jnp.asarray(0.0),
       jnp.asarray(ts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
@@ -76,3 +76,36 @@ def test_scan_stream_single_kind_matches_driver():
       jnp.asarray(eas))
   np.testing.assert_allclose(np.asarray(x_f), kf.x, rtol=1e-10)
   np.testing.assert_allclose(np.asarray(P_f), kf.P, rtol=1e-10)
+
+
+def test_scan_stream_feeds_smoother():
+  """Fully on-device offline pipeline: scan the log, smooth the stacked
+  estimates — must match smoothing the host driver's estimate list."""
+  import jax.numpy as jnp
+  from rednose_tpu.smoothing.rts import rts_smooth_parallel
+
+  rng = np.random.default_rng(2)
+  spec = KinematicKalman.build_spec()
+  log = [((i + 1) * 0.01, KK.POSITION, [rng.normal(0, 0.3)],
+          np.atleast_2d(0.01), None) for i in range(64)]
+
+  kf = KinematicKalman()
+  kf.filter.set_filter_time(0.0)
+  estimates = []
+  for t, kind, z, R, _ in log:
+    estimates.append(kf.filter.predict_and_update_batch(
+        t, kind, np.atleast_2d(z), R[None]))
+  ref = kf.filter.rts_smooth(estimates, parallel=True)
+  ref_x = np.stack([s[0] for s in ref])
+
+  scan_fn, _ = build_scan_stream(spec, (KK.POSITION,))
+  ts, ki, zs, Rs, eas = pad_log(spec, (KK.POSITION,), log)
+  _, (x_pred, P_pred, x_post, P_post) = scan_fn(
+      {}, jnp.asarray(KinematicKalman.initial_x),
+      jnp.asarray(np.diag(KinematicKalman.initial_P_diag)),
+      jnp.asarray(KinematicKalman.Q), jnp.asarray(0.0),
+      jnp.asarray(ts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
+      jnp.asarray(eas))
+  xs, Ps = rts_smooth_parallel(spec, {}, x_pred, P_pred, x_post, P_post,
+                               jnp.asarray(ts))
+  np.testing.assert_allclose(np.asarray(xs), ref_x, rtol=1e-8, atol=1e-10)
