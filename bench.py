@@ -104,6 +104,7 @@ def bench_rts():
   scan_fn, _ = build_scan_stream(spec, kinds)
   pos0 = jnp.asarray(LiveKalman.initial_x[0:3], dtype)
   ts = (1 + jnp.arange(T, dtype=dtype)) * 0.01
+  dts = jnp.full((T,), 0.01, dtype=dtype)
   ki = (jnp.arange(T) % 2).astype(jnp.int32)
   key = jax.random.key(0)
   zs = jnp.where(ki[:, None] == 0,
@@ -116,8 +117,8 @@ def bench_rts():
   _, (x_pred, P_pred, x_post, P_post) = jax.block_until_ready(scan_fn(
       {}, jnp.asarray(LiveKalman.initial_x, dtype),
       jnp.asarray(np.diag(LiveKalman.initial_P_diag), dtype),
-      jnp.asarray(LiveKalman.Q, dtype), jnp.asarray(0.0, dtype),
-      ts, ki, zs, Rs, eas))
+      jnp.asarray(LiveKalman.Q, dtype),
+      dts, ki, zs, Rs, eas))
 
   def timed(fn):
     f = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))

@@ -151,15 +151,18 @@ def _update_impl(spec, kind, params, x, P, z, R, ea, normalize):
   if spec.is_eskf:
     H = H @ spec.H_mod_at(params, x)  # (dz', dim_err), ekf_c.c:83-85
 
-  if om.maha_test:
-    # Soft outlier rejection: inflate R when the Mahalanobis distance of the
-    # innovation exceeds the baked chi2 threshold (ekf_c.c:88-94).
-    S0 = H @ P @ H.T + R
-    maha_dist = y @ _solve(S0, y)
-    R = jnp.where(maha_dist > om.maha_thresh, MAHA_R_INFLATION * R, R)
-
   S = H @ P @ H.T + R
   K = _solve(S, H @ P.T).T  # (dim_err, dz'), ekf_c.c:100-101
+
+  if om.maha_test:
+    # Outlier rejection when the Mahalanobis distance of the innovation
+    # exceeds the baked chi2 threshold (ekf_c.c:88-94). The reference
+    # soft-rejects by inflating R by 1e16; zeroing the gain is that
+    # inflation's exact R->inf limit (K->0, P unchanged) and — unlike the
+    # inflation — cannot overflow the float32 closed-form solves
+    # (1e16*R makes adjugate cofactor products exceed f32 max).
+    maha_dist = y @ _solve(S, y)
+    K = jnp.where(maha_dist > om.maha_thresh, 0.0, K)
   I_KH = jnp.eye(spec.dim_err, dtype=P.dtype) - K @ H
   dx = K @ y
   x_new = spec.err(params, x, dx)  # error injection, ekf_c.c:108-112

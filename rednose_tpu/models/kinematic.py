@@ -12,6 +12,7 @@ import numpy as np
 
 from rednose_tpu.core.spec import FilterSpec, ObservationModel
 from rednose_tpu.models.kalman_filter import KalmanFilter
+from rednose_tpu.registry import register
 
 
 class ObservationKind:
@@ -55,6 +56,7 @@ def build_kinematic_spec() -> FilterSpec:
   )
 
 
+@register
 class KinematicKalman(KalmanFilter):
   name = 'kinematic'
 

@@ -24,6 +24,7 @@ import numpy as np
 
 from rednose_tpu.core.spec import FilterSpec, ObservationModel
 from rednose_tpu.models.kalman_filter import KalmanFilter
+from rednose_tpu.registry import register
 from rednose_tpu.ops.quaternion import (
     euler_to_rot,
     quat_matrix_r,
@@ -273,6 +274,7 @@ def build_live_spec() -> FilterSpec:
   )
 
 
+@register
 class LiveKalman(KalmanFilter):
   """Facade mirroring the reference LiveKalman runtime API
   (examples/live_kf.py:248-337)."""

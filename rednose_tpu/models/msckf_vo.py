@@ -22,6 +22,7 @@ import numpy as np
 
 from rednose_tpu.core.spec import FilterSpec, ObservationModel
 from rednose_tpu.models.kalman_filter import KalmanFilter
+from rednose_tpu.registry import register
 from rednose_tpu.msckf.triangulation import compute_pos_batch
 
 
@@ -84,6 +85,7 @@ def build_msckf_vo_spec() -> FilterSpec:
       dim_augment=DIM_AUG, dim_augment_err=DIM_AUG, n_augment=N_AUGMENT)
 
 
+@register
 class MSCKFVisualOdometry(KalmanFilter):
   """Facade running the full MSCKF camera-frame pipeline."""
 
@@ -120,7 +122,11 @@ class MSCKFVisualOdometry(KalmanFilter):
     tracks_img: (n_tracks, N_AUGMENT, 2) normalized image observations,
     row k observed from clone k (oldest first).
     """
-    tracks_img = np.atleast_3d(np.asarray(tracks_img, dtype=np.float64))
+    tracks_img = np.asarray(tracks_img, dtype=np.float64)
+    if tracks_img.ndim == 2:  # single track -> promote to a batch of one
+      tracks_img = tracks_img[None]
+    assert tracks_img.ndim == 3 and tracks_img.shape[1:] == (N_AUGMENT, 2), \
+        tracks_img.shape
     n = tracks_img.shape[0]
     if n == 0:
       return self.filter.predict_and_update_batch(

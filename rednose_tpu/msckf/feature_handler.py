@@ -88,8 +88,13 @@ def merge_features(tracks, features, empty_idxs):
   match_c = jnp.clip(match, 0, n_tracks - 1)
 
   hdr = tracks[match_c, 0]  # (nf, 5)
-  appendable = (hdr[:, H_LAST_ID] == match_c.astype(dtype)) & \
-               (hdr[:, H_SEEN] == 0.0) & live & (hdr[:, H_COUNT] < K)
+  matched = (hdr[:, H_LAST_ID] == match_c.astype(dtype)) & \
+            (hdr[:, H_SEEN] == 0.0) & live
+  appendable = matched & (hdr[:, H_COUNT] < K)
+  # features matching an already-complete track are dropped entirely (the C
+  # loop would write out of bounds here, feature_handler.c:36-37; the caller
+  # is expected to harvest complete tracks before the next merge)
+  dropped_full = matched & (hdr[:, H_COUNT] >= K)
 
   # first feature index claiming each track (C loop order: lowest i wins)
   order = jnp.arange(nf, dtype=jnp.int32)
@@ -116,7 +121,7 @@ def merge_features(tracks, features, empty_idxs):
                      0, H_VALID].set(1.0, mode='drop')
 
   # ---- new tracks ----------------------------------------------------------
-  is_new = live & jnp.logical_not(is_append)
+  is_new = live & jnp.logical_not(is_append) & jnp.logical_not(dropped_full)
   rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
   slot_idx = empty_idxs[jnp.clip(rank, 0, empty_idxs.shape[0] - 1)]
   slot_idx = jnp.where(is_new, slot_idx, n_tracks).astype(jnp.int32)

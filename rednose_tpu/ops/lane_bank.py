@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from rednose_tpu.core.spec import FilterSpec
-from rednose_tpu.core.step import MAHA_R_INFLATION
 from rednose_tpu.ops.quaternion import normalize_slices
 
 Array = Any
@@ -114,14 +113,14 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
 
   PHt = _matmul_lt(P, H)  # (de, dz, B)
   S = _matmul_ll(H, PHt) + R  # (dz, dz, B)
+  Sinv = _inv_small(S)
+  K = _matmul_ll(PHt, Sinv)  # (de, dz, B)
 
   if om.maha_test:
-    Sinv0 = _inv_small(S)
-    dist = sum(y[i] * Sinv0[i, j] * y[j] for i in range(dz) for j in range(dz))
-    R = jnp.where(dist > om.maha_thresh, MAHA_R_INFLATION * R, R)
-    S = _matmul_ll(H, PHt) + R
-
-  K = _matmul_ll(PHt, _inv_small(S))  # (de, dz, B)
+    # zero-gain rejection: the exact R->inf limit of the reference's 1e16
+    # R inflation, overflow-safe in float32 (see core/step.py)
+    dist = sum(y[i] * Sinv[i, j] * y[j] for i in range(dz) for j in range(dz))
+    K = jnp.where(dist[None, None, :] > om.maha_thresh, 0.0, K)
   dx = sum(K[:, i, :] * y[i][None, :] for i in range(dz))  # (de, B)
 
   I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)

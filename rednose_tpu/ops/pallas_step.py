@@ -34,10 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rednose_tpu.utils.chi2 import chi2_ppf
+
 # chi2.ppf(0.95, 1): the baked threshold the reference codegen emits for
-# 1-dim maha-gated kinds (ekf_sym.py:144-147).
-MAHA_THRESH_1D = 3.8414588206941245
-MAHA_R_INFLATION = 1.0e16
+# 1-dim maha-gated kinds (ekf_sym.py:144-147); computed, not hardcoded, so
+# it cannot drift from the shared chi2 implementation.
+MAHA_THRESH_1D = chi2_ppf(0.95, 1)
 
 SUBLANES = 8
 STATE_SLABS = 5  # x0, x1, P00, P01, P11
@@ -88,23 +90,23 @@ def _kernel(dts_ref, rs_ref, s_in_ref, z_ref, s_out_ref, *, t_chunk: int,
 
     # update with H = [1, 0], scalar innovation
     y = z - x0
-    if maha:
-      s_pre = p00 + r
-      gated = y * y > maha_thresh * s_pre
-      r_eff = jnp.where(gated, MAHA_R_INFLATION * r, r)
-    else:
-      r_eff = r
-    s = p00 + r_eff
+    s = p00 + r
     inv_s = 1.0 / s
     k0 = p00 * inv_s
     k1 = p01 * inv_s
+    if maha:
+      # zero-gain rejection: exact R->inf limit of the reference's 1e16 R
+      # inflation (ekf_c.c:88-94), overflow-safe in f32 (see core/step.py)
+      gated = y * y > maha_thresh * s
+      k0 = jnp.where(gated, 0.0, k0)
+      k1 = jnp.where(gated, 0.0, k1)
     x0 = x0 + k0 * y
     x1 = x1 + k1 * y
     # Joseph form (ekf_c.c:115), scalar expansion
     a = 1.0 - k0
-    p00_n = a * a * p00 + k0 * k0 * r_eff
-    p01_n = a * (p01 - k1 * p00) + k0 * k1 * r_eff
-    p11_n = p11 - 2.0 * k1 * p01 + k1 * k1 * p00 + k1 * k1 * r_eff
+    p00_n = a * a * p00 + k0 * k0 * r
+    p01_n = a * (p01 - k1 * p00) + k0 * k1 * r
+    p11_n = p11 - 2.0 * k1 * p01 + k1 * k1 * p00 + k1 * k1 * r
     return (x0, x1, p00_n, p01_n, p11_n)
 
   init = (s_out_ref[0:n], s_out_ref[n:2 * n], s_out_ref[2 * n:3 * n],

@@ -36,9 +36,5 @@ def registered_filters() -> dict[str, type]:
 
 
 def _ensure_builtins():
-  # import for side effect: the shipped models register themselves
-  from rednose_tpu.models import kinematic, live  # noqa: F401
-
-  _REGISTRY.setdefault(kinematic.KinematicKalman.name,
-                       kinematic.KinematicKalman)
-  _REGISTRY.setdefault(live.LiveKalman.name, live.LiveKalman)
+  # import for side effect: the shipped models self-register via @register
+  from rednose_tpu.models import kinematic, live, msckf_vo  # noqa: F401

@@ -156,8 +156,9 @@ class FilterEngine:
     return ret
 
   def _predict_and_update_batch(self, t, kind, z, R, extra_args, augment=False):
-    z = np.atleast_2d(np.asarray(z, dtype=np.float64))
-    R = np.asarray(R, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64).reshape(-1, self.spec.obs[kind].dz)
+    R = np.asarray(R, dtype=np.float64).reshape(
+        -1, self.spec.obs[kind].dz, self.spec.obs[kind].dz)
     n = z.shape[0]
     assert R.shape[0] == n and z.shape[1] == R.shape[1] == R.shape[2]
     om = self.spec.obs[kind]

@@ -28,13 +28,21 @@ from rednose_tpu.core.spec import FilterSpec
 
 Array = Any
 
-PAD_R = 1.0e16
+# Padded-slot variance. Large enough to be information-free (leak ~1e-12
+# relative), small enough that float32 closed-form 3x3 solves on S containing
+# PAD_R entries cannot overflow (adjugate terms are products of three
+# entries; 1e16 would push them past f32 max).
+PAD_R = 1.0e12
 
 
 def _padded_update(spec: FilterSpec, kind: int, max_dz: int, params, x, P,
                    z_pad, R_pad, ea):
   """One update with z/R padded to max_dz: real h/H rows for this kind's dz,
-  zero rows + huge R for the padding (information-free)."""
+  zero rows + huge R for the padding (information-free).
+
+  Returns only (x, P): per-kind innovations have kind-dependent shapes
+  (feature kinds project y down to dz - ea_dim), which lax.switch cannot
+  unify across branches."""
   om = spec.obs[kind]
   dz = om.dz
 
@@ -47,7 +55,9 @@ def _padded_update(spec: FilterSpec, kind: int, max_dz: int, params, x, P,
   om_pad = dataclasses.replace(om, h=h_padded, dz=max_dz,
                                maha_thresh=om.maha_thresh)
   spec_pad = dataclasses.replace(spec, obs={**dict(spec.obs), kind: om_pad})
-  return step_ops.update(spec_pad, kind, params, x, P, z_pad, R_pad, ea)
+  x_new, P_new, _ = step_ops.update(
+      spec_pad, kind, params, x, P, z_pad, R_pad, ea[:max(om.ea_dim, 1)])
+  return x_new, P_new
 
 
 def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
@@ -55,9 +65,12 @@ def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
   entire mixed-kind log on device.
 
   kinds: the observation kinds that may appear in the stream (static).
-  scan_fn(params, x, P, Q, t0, ts, kind_idx, zs, Rs, eas) ->
-      ((x, P, t), (xs, Ps)) with
-    ts (T,) observation timestamps (non-decreasing; rewind is a host concern),
+  scan_fn(params, x, P, Q, dts, kind_idx, zs, Rs, eas) ->
+      ((x, P), (x_preds, P_preds, x_posts, P_posts)) with
+    dts (T,) per-step time deltas. IMPORTANT: deltas, not absolute
+      timestamps — absolute times (e.g. unix epoch ~1.7e9 s) differenced
+      after a float32 cast would quantize dt to 256 s; pad_log computes the
+      deltas host-side in float64 where they are exact,
     kind_idx (T,) int32 index into `kinds`,
     zs (T, max_dz) padded measurements,
     Rs (T, max_dz, max_dz) padded noise (PAD_R diagonal on padded slots),
@@ -65,53 +78,54 @@ def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
   """
   kinds = tuple(kinds)
   max_dz = max(spec.obs[k].dz for k in kinds)
-  max_ea = max(max(spec.obs[k].ea_dim, 1) for k in kinds)
 
   branches = tuple(
       functools.partial(_padded_update, spec, k, max_dz) for k in kinds)
 
-  def scan_fn(params, x, P, Q, t0, ts, kind_idx, zs, Rs, eas):
+  def scan_fn(params, x, P, Q, dts, kind_idx, zs, Rs, eas):
     def body(carry, inp):
-      x, P, t_prev = carry
-      t, ki, z, R, ea = inp
-      dt = t - t_prev
+      x, P = carry
+      dt, ki, z, R, ea = inp
       x_pred, P_pred = step_ops.predict(spec, params, x, P, Q, dt)
-      x, P, _ = jax.lax.switch(
-          ki, branches, params, x_pred, P_pred, z, R, ea[:max_ea])
+      x, P = jax.lax.switch(
+          ki, branches, params, x_pred, P_pred, z, R, ea)
       # per-step (pred, post) pairs: exactly the smoother's inputs
       # (the device-side half of the driver's 9-tuple Estimate)
-      return (x, P, t), (x_pred, P_pred, x, P)
+      return (x, P), (x_pred, P_pred, x, P)
 
-    return jax.lax.scan(body, (x, P, t0), (ts, kind_idx, zs, Rs, eas))
+    return jax.lax.scan(body, (x, P), (dts, kind_idx, zs, Rs, eas))
 
   return jax.jit(scan_fn), {k: i for i, k in enumerate(kinds)}
 
 
-def pad_log(spec: FilterSpec, kinds: Sequence[int], log,
+def pad_log(spec: FilterSpec, kinds: Sequence[int], log, t0: float = 0.0,
             dtype=np.float64):
   """Host-side packing of a list of (t, kind, z, R, ea) into the padded
-  arrays build_scan_stream expects. R defaults per-kind are the caller's
-  concern; here R must be given per record."""
+  arrays build_scan_stream expects. Timestamps are differenced HERE, in
+  float64, so absolute epochs survive a float32 device dtype. R defaults
+  per-kind are the caller's concern; here R must be given per record."""
   kinds = tuple(kinds)
   kind_to_idx = {k: i for i, k in enumerate(kinds)}
   max_dz = max(spec.obs[k].dz for k in kinds)
   max_ea = max(max(spec.obs[k].ea_dim, 1) for k in kinds)
   T = len(log)
-  ts = np.zeros((T,), dtype=dtype)
+  dts = np.zeros((T,), dtype=dtype)
   ki = np.zeros((T,), dtype=np.int32)
   zs = np.zeros((T, max_dz), dtype=dtype)
   Rs = np.zeros((T, max_dz, max_dz), dtype=dtype)
   eas = np.zeros((T, max_ea), dtype=dtype)
+  t_prev = np.float64(t0)
   for i, rec in enumerate(log):
     t, kind, z, R = rec[0], rec[1], np.asarray(rec[2]).reshape(-1), rec[3]
     ea = np.asarray(rec[4]).reshape(-1) if len(rec) > 4 and rec[4] is not None \
         else np.zeros(0)
     dz = spec.obs[kind].dz
     assert z.shape[0] == dz, (kind, z.shape)
-    ts[i] = t
+    dts[i] = np.float64(t) - t_prev
+    t_prev = np.float64(t)
     ki[i] = kind_to_idx[kind]
     zs[i, :dz] = z
     Rs[i] = np.eye(max_dz) * PAD_R
     Rs[i, :dz, :dz] = np.asarray(R).reshape(dz, dz)
     eas[i, :ea.shape[0]] = ea
-  return ts, ki, zs, Rs, eas
+  return dts, ki, zs, Rs, eas

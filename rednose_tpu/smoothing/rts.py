@@ -51,7 +51,7 @@ def _smoother_gain(spec: FilterSpec, params, x_post, P_post, P_pred_next, dt):
 
 
 def rts_smooth(spec: FilterSpec, params, x_pred, P_pred, x_post, P_post, t,
-               norm_quats: bool = False):
+               norm_quats: bool = False, dts=None):
   """Sequential (lax.scan) RTS backward pass.
 
   Args: stacked forward-pass results, time-major:
@@ -64,14 +64,18 @@ def rts_smooth(spec: FilterSpec, params, x_pred, P_pred, x_post, P_post, t,
   """
   with jax.default_matmul_precision('float32'):  # see core/step.py note
     return _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
-                            norm_quats)
+                            norm_quats, dts)
 
 
 def _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
-                     norm_quats):
+                     norm_quats, dts=None):
   d1, d2 = spec.dim_main, spec.dim_main_err
   T = x_post.shape[0]
-  dts = t[1:] - t[:-1]
+  if dts is None:
+    # NOTE: only exact when t is float64 — absolute epoch timestamps
+    # differenced in float32 quantize dt catastrophically. Callers with f32
+    # state should pass host-computed float64 deltas via dts=.
+    dts = t[1:] - t[:-1]
 
   def backward(carry, inp):
     x_next_s, P_next_s = carry
@@ -119,7 +123,7 @@ def _affine_combine(a, b):
 
 
 def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
-                        P_post, t, norm_quats: bool = False):
+                        P_post, t, norm_quats: bool = False, dts=None):
   """Parallel-in-time RTS via associative scan (O(log T) depth).
 
   Derivation: let e_k = inv_err(x_{k|k}, x_{k|T}) be the smoothed correction
@@ -140,14 +144,15 @@ def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
   """
   with jax.default_matmul_precision('float32'):  # see core/step.py note
     return _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post,
-                                     P_post, t, norm_quats)
+                                     P_post, t, norm_quats, dts)
 
 
 def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
-                              t, norm_quats):
+                              t, norm_quats, dts=None):
   d1, d2 = spec.dim_main, spec.dim_main_err
   T = x_post.shape[0]
-  dts = t[1:] - t[:-1]
+  if dts is None:
+    dts = t[1:] - t[:-1]  # see note in _rts_smooth_impl re f32 timestamps
 
   gains = jax.vmap(
       lambda xk, Pk, Pp1, dt: _smoother_gain(spec, params, xk, Pk, Pp1, dt)
@@ -205,10 +210,14 @@ def smooth_estimates(spec: FilterSpec, params, estimates,
                       for e in estimates])
   P_pred = jnp.stack([jnp.asarray(e[2], dtype=dtype) for e in estimates])
   P_post = jnp.stack([jnp.asarray(e[3], dtype=dtype) for e in estimates])
-  t = jnp.asarray([float(e[4]) for e in estimates], dtype=dtype)
+  t64 = np.asarray([float(e[4]) for e in estimates], dtype=np.float64)
+  t = jnp.asarray(t64, dtype=dtype)
+  # difference timestamps on the host in float64: epoch-scale t cast to f32
+  # first would quantize dt (see runtime/scan.py pad_log)
+  dts = jnp.asarray(t64[1:] - t64[:-1], dtype=dtype)
   fn = rts_smooth_parallel if parallel else rts_smooth
   xs, Ps = fn(spec, params, x_pred, P_pred, x_post, P_post, t,
-              norm_quats=norm_quats)
+              norm_quats=norm_quats, dts=dts)
   xs = np.asarray(xs)
   Ps = np.asarray(Ps)
   return [(xs[i], Ps[i]) for i in range(xs.shape[0])]

@@ -64,8 +64,9 @@ def _merge_oracle(tracks, features, empty_idxs, K):
     m = int(f[4])
     if m < 0:
       continue
-    if (tracks[m, 0, 1] == m and tracks[m, 0, 2] == 0
-        and tracks[m, 0, 0] < K):  # < K guard matches our documented deviation
+    if tracks[m, 0, 1] == m and tracks[m, 0, 2] == 0:
+      if tracks[m, 0, 0] >= K:
+        continue  # full track: feature dropped (documented deviation)
       tracks[m, 0, 0] += 1
       tracks[m, 0, 1] = f[1]
       tracks[m, 0, 2] = 1

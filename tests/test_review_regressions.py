@@ -1,0 +1,146 @@
+"""Regression tests for defects found in code review: float32 gate overflow,
+feature kinds in heterogeneous streams, empty observation batches, epoch
+timestamps, single-track input shape, registry completeness, full-track
+feature drops."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rednose_tpu import registry
+from rednose_tpu.core import step as step_ops
+from rednose_tpu.models.kinematic import KinematicKalman
+from rednose_tpu.models.kinematic import ObservationKind as KK
+from rednose_tpu.models.msckf_vo import (
+    MSCKFVisualOdometry,
+    N_AUGMENT,
+    build_msckf_vo_spec,
+)
+from rednose_tpu.models.msckf_vo import ObservationKind as MK
+from rednose_tpu.runtime.scan import build_scan_stream, pad_log
+
+
+def test_gated_outlier_float32_no_nan():
+  """A gated outlier with large R in float32 must not overflow the
+  closed-form solve (was: 1e16 R inflation -> adjugate products -> inf/NaN).
+  The gate must leave state and covariance exactly unchanged."""
+  spec = KinematicKalman.build_spec()
+  om = spec.obs[KK.POSITION]
+  spec = dataclasses.replace(
+      spec, obs={KK.POSITION: dataclasses.replace(om, maha_test=True)})
+
+  x = jnp.asarray([0.0, 0.0], jnp.float32)
+  P = jnp.asarray(np.diag([0.01, 0.01]), jnp.float32)
+  R = jnp.asarray([[1.0e4]], jnp.float32)  # 100 m GPS std
+  z = jnp.asarray([1.0e4], jnp.float32)    # wild outlier -> gated
+  x2, P2, y = step_ops.update(spec, KK.POSITION, {}, x, P, z, R,
+                              jnp.zeros((1,), jnp.float32))
+  assert np.all(np.isfinite(np.asarray(x2)))
+  np.testing.assert_allclose(np.asarray(x2), np.asarray(x))
+  np.testing.assert_allclose(np.asarray(P2), np.asarray(P))
+
+  # and a 3-dim gated kind through the same closed-form path
+  from rednose_tpu.models.live import LiveKalman, ObservationKind as LK
+  lspec = LiveKalman.build_spec()
+  lom = lspec.obs[LK.ECEF_POS]
+  lspec = dataclasses.replace(
+      lspec, obs={**dict(lspec.obs),
+                  LK.ECEF_POS: dataclasses.replace(lom, maha_test=True)})
+  xl = jnp.asarray(LiveKalman.initial_x, jnp.float32)
+  Pl = jnp.asarray(np.diag(LiveKalman.initial_P_diag), jnp.float32)
+  Rl = jnp.asarray(np.diag([1e4] * 3), jnp.float32)
+  zl = xl[0:3] + 1e6  # gross outlier
+  x2, P2, _ = step_ops.update(lspec, LK.ECEF_POS, {}, xl, Pl, zl, Rl,
+                              jnp.zeros((1,), jnp.float32))
+  assert np.all(np.isfinite(np.asarray(x2)))
+  assert np.all(np.isfinite(np.asarray(P2)))
+
+
+def test_scan_stream_with_feature_kind():
+  """Heterogeneous stream mixing a plain kind with an MSCKF feature kind
+  must build and run (was: lax.switch branch shape mismatch)."""
+  spec = build_msckf_vo_spec()
+  kinds = (MK.POSITION, MK.MSCKF_TEST)
+  scan_fn, _ = build_scan_stream(spec, kinds)
+
+  ea = np.array([1.0, 2.0, 10.0])
+  x0 = np.zeros(spec.dim_x)
+  h_feat = np.asarray(spec.obs[MK.MSCKF_TEST].h({}, jnp.asarray(x0),
+                                                jnp.asarray(ea)))
+  log = [
+      (0.1, MK.POSITION, np.zeros(3), np.eye(3), None),
+      (0.2, MK.MSCKF_TEST, h_feat, np.eye(2 * N_AUGMENT) * 1e-4, ea),
+      (0.3, MK.POSITION, np.zeros(3), np.eye(3), None),
+  ]
+  dts, ki, zs, Rs, eas = pad_log(spec, kinds, log, t0=0.0)
+  (x_f, P_f), _ = scan_fn(
+      {}, jnp.asarray(x0), jnp.asarray(np.eye(spec.dim_err)),
+      jnp.asarray(np.eye(spec.dim_err) * 1e-4),
+      jnp.asarray(dts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
+      jnp.asarray(eas))
+  assert np.all(np.isfinite(np.asarray(x_f)))
+  assert np.all(np.isfinite(np.asarray(P_f)))
+
+
+def test_empty_observation_batch_is_noop_update():
+  """predict_and_observe with an empty batch must predict + checkpoint, not
+  crash (was: atleast_2d([]) -> (1, 0) -> assertion)."""
+  kf = KinematicKalman()
+  kf.predict_and_observe(0.0, KK.POSITION, [[0.5]])
+  est = kf.predict_and_observe(1.0, KK.POSITION, [])
+  assert est is not None
+  assert kf.t == 1.0
+  assert len(est[6]) == 0  # no innovations
+
+
+def test_epoch_timestamps_preserve_dt():
+  """Unix-epoch timestamps must not quantize dt through a float32 cast
+  (was: on-device t[k]-t[k-1] in f32 -> dt of 0 or 256 s)."""
+  spec = KinematicKalman.build_spec()
+  t0 = 1.7e9
+  log = [(t0 + (i + 1) * 0.01, KK.POSITION, [0.0], np.atleast_2d(0.01), None)
+         for i in range(10)]
+  dts, ki, zs, Rs, eas = pad_log(spec, (KK.POSITION,), log, t0=t0)
+  # f64 epoch spacing at 1.7e9 is ~2.4e-7 s, so ~1e-8 error is inherent
+  # (identical in the reference, which is also float64)
+  np.testing.assert_allclose(dts, 0.01, atol=1e-7)
+  # and they survive the f32 cast because they are already small deltas
+  assert abs(float(jnp.asarray(dts, jnp.float32)[0]) - 0.01) < 1e-7
+
+
+def test_single_track_shape_promotion():
+  kf = MSCKFVisualOdometry()
+  kf.observe_camera_frame(0.1, np.zeros((0, N_AUGMENT, 2)))
+  # a single 2-D track must be treated as one track, not N_AUGMENT tracks
+  one_track = np.full((N_AUGMENT, 2), 0.1)
+  est = kf.observe_camera_frame(0.2, one_track)
+  # triangulation of a degenerate zero-baseline track may fail (None) but it
+  # must not crash or mis-shape; a 3-D batch of one behaves identically
+  est2 = kf.observe_camera_frame(0.3, one_track[None])
+  del est, est2
+
+
+def test_registry_includes_all_shipped_models():
+  names = set(registry.registered_filters())
+  assert {'kinematic', 'live', 'msckf_vo'} <= names
+  assert registry.lookup('msckf_vo') is MSCKFVisualOdometry
+
+
+def test_full_track_features_are_dropped():
+  """A feature matching a complete (count==K) track is dropped — it neither
+  appends out of bounds nor burns an empty slot."""
+  from rednose_tpu.msckf import feature_handler as fh
+
+  K, n_tracks = 3, 8
+  tracks = np.zeros((n_tracks, K + 1, 5))
+  tracks[2, 0] = [K, 2, 0, 1, 0]  # full track, id 2
+  features = np.zeros((2, 5))
+  features[0] = [0, 100, 0.1, 0.1, 2]   # matches the full track -> dropped
+  features[1] = [0, 101, 0.2, 0.2, -1]  # padding
+  empty = np.array([0, 1, 3, 4], dtype=np.int64)
+  out = np.asarray(fh.merge_features(
+      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty)))
+  np.testing.assert_allclose(out[2, 0, 0], K)     # count unchanged
+  assert np.all(out[[0, 1, 3, 4], 0, 0] == 0)      # no new track spawned

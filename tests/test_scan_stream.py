@@ -42,16 +42,15 @@ def test_scan_stream_matches_driver_mixed_kinds():
   # on-device scan, one dispatch total
   spec = LiveKalman.build_spec()
   scan_fn, _ = build_scan_stream(spec, kinds)
-  ts, ki, zs, Rs, eas = pad_log(spec, kinds, log)
-  (x_f, P_f, t_f), (x_preds, P_preds, xs, Ps) = scan_fn(
+  dts, ki, zs, Rs, eas = pad_log(spec, kinds, log, t0=0.0)
+  (x_f, P_f), (x_preds, P_preds, xs, Ps) = scan_fn(
       {}, jnp.asarray(x0), jnp.asarray(np.diag(LiveKalman.initial_P_diag)),
-      jnp.asarray(LiveKalman.Q), jnp.asarray(0.0),
-      jnp.asarray(ts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
+      jnp.asarray(LiveKalman.Q),
+      jnp.asarray(dts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
       jnp.asarray(eas))
 
   np.testing.assert_allclose(np.asarray(x_f), kf.x, rtol=1e-8, atol=1e-10)
   np.testing.assert_allclose(np.asarray(P_f), kf.P, rtol=1e-6, atol=1e-9)
-  assert float(t_f) == log[-1][0]
   assert xs.shape == (len(log), spec.dim_x)
 
 
@@ -67,12 +66,12 @@ def test_scan_stream_single_kind_matches_driver():
     kf.filter.predict_and_update_batch(t, kind, np.atleast_2d(z), R[None])
 
   scan_fn, _ = build_scan_stream(spec, (KK.POSITION,))
-  ts, ki, zs, Rs, eas = pad_log(spec, (KK.POSITION,), log)
-  (x_f, P_f, _), _ = scan_fn(
+  dts, ki, zs, Rs, eas = pad_log(spec, (KK.POSITION,), log, t0=0.0)
+  (x_f, P_f), _ = scan_fn(
       {}, jnp.asarray(KinematicKalman.initial_x),
       jnp.asarray(np.diag(KinematicKalman.initial_P_diag)),
-      jnp.asarray(KinematicKalman.Q), jnp.asarray(0.0),
-      jnp.asarray(ts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
+      jnp.asarray(KinematicKalman.Q),
+      jnp.asarray(dts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
       jnp.asarray(eas))
   np.testing.assert_allclose(np.asarray(x_f), kf.x, rtol=1e-10)
   np.testing.assert_allclose(np.asarray(P_f), kf.P, rtol=1e-10)
@@ -99,13 +98,14 @@ def test_scan_stream_feeds_smoother():
   ref_x = np.stack([s[0] for s in ref])
 
   scan_fn, _ = build_scan_stream(spec, (KK.POSITION,))
-  ts, ki, zs, Rs, eas = pad_log(spec, (KK.POSITION,), log)
+  dts, ki, zs, Rs, eas = pad_log(spec, (KK.POSITION,), log, t0=0.0)
   _, (x_pred, P_pred, x_post, P_post) = scan_fn(
       {}, jnp.asarray(KinematicKalman.initial_x),
       jnp.asarray(np.diag(KinematicKalman.initial_P_diag)),
-      jnp.asarray(KinematicKalman.Q), jnp.asarray(0.0),
-      jnp.asarray(ts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
+      jnp.asarray(KinematicKalman.Q),
+      jnp.asarray(dts), jnp.asarray(ki), jnp.asarray(zs), jnp.asarray(Rs),
       jnp.asarray(eas))
+  ts = np.cumsum(dts)
   xs, Ps = rts_smooth_parallel(spec, {}, x_pred, P_pred, x_post, P_post,
-                               jnp.asarray(ts))
+                               jnp.asarray(ts), dts=jnp.asarray(dts[1:]))
   np.testing.assert_allclose(np.asarray(xs), ref_x, rtol=1e-8, atol=1e-10)
