@@ -75,6 +75,46 @@ def _inv_small(S):
   raise NotImplementedError(f"closed-form inverse only for d<=3, got {d}")
 
 
+def cholesky_lane(A):
+  """Column-slab Cholesky factorization of SPD (d, d, B) lane-major matrices.
+
+  Batched LAPACK-style factorizations serialize on TPU's scalar unit; this
+  unrolls over columns only — each step updates a whole (d-j, B) slab, so the
+  traced graph stays O(d^2) ops while the arithmetic is d^3/3 broadcast
+  multiply-adds on lanes. Returns the list-of-rows lower factor used by
+  cho_solve_lane (A = L L^T)."""
+  d = A.shape[0]
+  cols = []  # cols[j]: (d - j, B) — column j from the diagonal down
+  for j in range(d):
+    s = A[j:, j]
+    for k in range(j):
+      s = s - cols[k][j - k:] * cols[k][j - k][None]
+    diag = jnp.sqrt(s[0])
+    cols.append(jnp.concatenate([diag[None], s[1:] / diag[None]], axis=0))
+  return cols
+
+
+def cho_solve_lane(cols, B_):
+  """Solve A X = B with A = L L^T from cholesky_lane; B_ is (d, m, B).
+  Forward/back substitution vectorized over the m right-hand sides."""
+  d = len(cols)
+  # forward: L Y = B, Y[i] is (m, B)
+  Y = [None] * d
+  for i in range(d):
+    s = B_[i]
+    for k in range(i):
+      s = s - cols[k][i - k][None] * Y[k]
+    Y[i] = s / cols[i][0][None]
+  # backward: L^T X = Y
+  X = [None] * d
+  for i in reversed(range(d)):
+    s = Y[i]
+    for k in range(i + 1, d):
+      s = s - cols[i][k - i][None] * X[k]
+    X[i] = s / cols[i][0][None]
+  return jnp.stack(X)
+
+
 def lane_predict(spec: FilterSpec, params, x, P, Q, dt):
   """Bank predict: x (B, dim_x), P (dim_err, dim_err, B) lane-major.
 

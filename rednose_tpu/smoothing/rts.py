@@ -154,9 +154,20 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
   if dts is None:
     dts = t[1:] - t[:-1]  # see note in _rts_smooth_impl re f32 timestamps
 
-  gains = jax.vmap(
-      lambda xk, Pk, Pp1, dt: _smoother_gain(spec, params, xk, Pk, Pp1, dt)
-  )(x_post[:-1], P_post[:-1], P_pred[1:], dts)  # (T-1, d2, d2)
+  # Smoother gains C_k = P_k F_k^T P_{k+1|k}^{-1} for ALL k at once,
+  # lane-major (d2, d2, T) with an unrolled Cholesky solve: batched LAPACK
+  # solves serialize on TPU's scalar unit (measured ~6x slower).
+  from rednose_tpu.ops.lane_bank import (
+      _matmul_lt, cho_solve_lane, cholesky_lane)
+
+  F = jax.vmap(lambda xk, dt: spec.F(params, xk, dt)[:d2, :d2],
+               out_axes=2)(x_post[:-1], dts)  # (d2, d2, T-1)
+  Pk = jnp.transpose(P_post[:-1, :d2, :d2], (1, 2, 0))
+  Pk1 = jnp.transpose(P_pred[1:, :d2, :d2], (1, 2, 0))
+  L = cholesky_lane(Pk1)
+  # solve Pk1 X = F Pk^T, then C = X^T
+  X = cho_solve_lane(L, _matmul_lt(F, Pk))
+  gains = jnp.transpose(X, (2, 1, 0))  # (T-1, d2, d2), C_k = X_k^T
 
   u = jax.vmap(lambda xp, xf: spec.inv_err(params, xp, xf))(
       x_pred[1:], x_post[1:])[:, :d2]  # (T-1, d2)
