@@ -141,13 +141,17 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
   h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)  # (dz, B)
   y = z.T - h
 
-  def H_of(xx):
-    H = spec.H(kind, params, xx, ea0)
-    if spec.is_eskf:
-      H = H @ spec.H_mod_at(params, xx)
-    return H
-
-  H = jax.vmap(H_of, out_axes=2)(x)  # (dz, de, B)
+  # H (and the ESKF H.H_mod chain) lane-major: composing them per-filter
+  # inside the vmap would emit batched small matmuls (the slow pattern this
+  # module exists to avoid)
+  H_raw = jax.vmap(lambda xx: spec.H(kind, params, xx, ea0),
+                   out_axes=2)(x)  # (dz, dim_x, B)
+  if spec.is_eskf:
+    Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx),
+                  out_axes=2)(x)  # (dim_x, de, B)
+    H = _matmul_ll(H_raw, Hm)  # (dz, de, B)
+  else:
+    H = H_raw
   if R.ndim == 2:
     R = R[:, :, None]
 
