@@ -147,7 +147,13 @@ class MSCKFVisualOdometry(KalmanFilter):
     pos, ok = compute_pos_batch(to_c, poses_b, jnp.asarray(tracks_img))
     ok = np.asarray(ok)
     if not ok.any():
-      return None  # every triangulation failed -> skip (ekf_sym.py:588-591)
+      # every triangulation failed: skip the measurements (ekf_sym.py:588-591)
+      # but STILL predict to t and clone the pose — otherwise the clone
+      # window desyncs from the camera-frame cadence and every later track
+      # is matched against stale clones
+      return self.filter.predict_and_update_batch(
+          t, ObservationKind.POSITION, np.zeros((0, 3)),
+          np.zeros((0, 3, 3)), augment=True)
 
     z = tracks_img[ok].reshape(ok.sum(), -1)
     R = self.get_R(ObservationKind.MSCKF_TEST, int(ok.sum()))

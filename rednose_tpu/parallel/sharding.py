@@ -103,10 +103,9 @@ def jit_sharded_step(spec: FilterSpec, kind: int, mesh: Mesh):
   return jax.jit(
       step,
       in_shardings=(repl,  # params
-                    bank_ops.BankState(x=sh, P=sh, t=sh),
+                    sh,    # BankState: every leaf sharded on the bank axis
                     repl, repl,
                     NamedSharding(mesh, P(BANK_AXIS)),
                     NamedSharding(mesh, P(BANK_AXIS)),
                     NamedSharding(mesh, P(BANK_AXIS))),
-      out_shardings=(bank_ops.BankState(x=sh, P=sh, t=sh),
-                     NamedSharding(mesh, P(BANK_AXIS))))
+      out_shardings=(sh, NamedSharding(mesh, P(BANK_AXIS))))

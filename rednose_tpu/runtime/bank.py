@@ -27,23 +27,34 @@ from rednose_tpu.core.spec import FilterSpec
 Array = Any
 
 
-@jax.tree_util.register_dataclass
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=('x', 'P', 't'), meta_fields=('epoch',))
 @dataclasses.dataclass
 class BankState:
   """State of B independent filters: x (B, dim_x), P (B, dim_err, dim_err),
-  t (B,)."""
+  t (B,) seconds SINCE `epoch`.
+
+  t is stored relative to the (static, host-side) epoch because epoch-scale
+  absolute times in float32 have 256 s resolution — `t + dt` would be a
+  no-op (see CLAUDE.md). Absolute time = epoch + t.
+  """
   x: Array
   P: Array
   t: Array
+  epoch: float = 0.0
 
   @property
   def batch(self) -> int:
     return self.x.shape[0]
 
+  def absolute_t(self):
+    import numpy as np
+    return self.epoch + np.asarray(self.t, dtype=np.float64)
+
 
 def init_bank(spec: FilterSpec, x0, P0, batch: int, t0=0.0,
               dtype=jnp.float32) -> BankState:
-  """Broadcast one initial (x0, P0) to a B-wide bank."""
+  """Broadcast one initial (x0, P0) to a B-wide bank; t0 becomes the epoch."""
   x0 = jnp.asarray(x0, dtype=dtype)
   P0 = jnp.asarray(P0, dtype=dtype)
   assert x0.shape == (spec.dim_x,)
@@ -51,7 +62,8 @@ def init_bank(spec: FilterSpec, x0, P0, batch: int, t0=0.0,
   return BankState(
       x=jnp.broadcast_to(x0, (batch, spec.dim_x)),
       P=jnp.broadcast_to(P0, (batch, spec.dim_err, spec.dim_err)),
-      t=jnp.full((batch,), t0, dtype=dtype),
+      t=jnp.zeros((batch,), dtype=dtype),
+      epoch=float(t0),
   )
 
 
@@ -72,7 +84,7 @@ def bank_predict_and_update(spec: FilterSpec, kind: int, params,
     return x_u, P_u, y
 
   x_new, P_new, y = jax.vmap(one)(state.x, state.P, dt, z, R, ea)
-  return BankState(x=x_new, P=P_new, t=state.t + dt), y
+  return BankState(x=x_new, P=P_new, t=state.t + dt, epoch=state.epoch), y
 
 
 def run_bank(spec: FilterSpec, kind: int, params, state: BankState, Q: Array,

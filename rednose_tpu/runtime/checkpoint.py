@@ -25,6 +25,7 @@ def save_filter(path, engine):
       P=np.asarray(engine.P),
       filter_time=np.asarray(
           np.nan if engine.filter_time is None else engine.filter_time),
+      augment_times=np.asarray(engine.augment_times, dtype=np.float64),
       n_params=np.asarray(len(leaves)),
       **{f"param_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
   )
@@ -37,6 +38,8 @@ def load_filter(path, engine, treedef=None):
   with np.load(path) as data:
     t = float(data["filter_time"])
     engine.init_state(data["x"], data["P"], None if np.isnan(t) else t)
+    if "augment_times" in data:  # MSCKF clone-window bookkeeping
+      engine.augment_times = list(data["augment_times"])
     n = int(data["n_params"])
     if treedef is not None and n:
       leaves = [jnp.asarray(data[f"param_{i}"]) for i in range(n)]
@@ -46,7 +49,7 @@ def load_filter(path, engine, treedef=None):
 
 def save_bank(path, state: BankState):
   np.savez(path, x=np.asarray(state.x), P=np.asarray(state.P),
-           t=np.asarray(state.t))
+           t=np.asarray(state.t), epoch=np.asarray(state.epoch))
 
 
 def load_bank(path, dtype=None) -> BankState:
@@ -55,4 +58,5 @@ def load_bank(path, dtype=None) -> BankState:
         x=jnp.asarray(data["x"], dtype=dtype),
         P=jnp.asarray(data["P"], dtype=dtype),
         t=jnp.asarray(data["t"], dtype=dtype),
+        epoch=float(data["epoch"]) if "epoch" in data else 0.0,
     )

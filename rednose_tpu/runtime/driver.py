@@ -105,7 +105,14 @@ class FilterEngine:
   def set_global(self, name, val):
     """Runtime-tunable parameter update (replaces the reference's C-global
     set_<var> setters, ekf_sym.py:415-416). Params are traced arguments, so
-    this never triggers recompilation."""
+    this never triggers recompilation. Requires mapping-style params; for
+    other pytrees assign engine.params directly."""
+    import collections.abc
+
+    if not isinstance(self.params, collections.abc.Mapping):
+      raise TypeError(
+          f"set_global needs mapping params, got {type(self.params).__name__};"
+          " assign engine.params directly for non-mapping pytrees")
     self.params = dict(self.params)
     self.params[name] = val
 

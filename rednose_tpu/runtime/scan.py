@@ -121,6 +121,11 @@ def pad_log(spec: FilterSpec, kinds: Sequence[int], log, t0: float = 0.0,
         else np.zeros(0)
     dz = spec.obs[kind].dz
     assert z.shape[0] == dz, (kind, z.shape)
+    if np.float64(t) < t_prev:
+      raise ValueError(
+          f"log timestamps must be non-decreasing (record {i}: {t} < "
+          f"{t_prev}); out-of-order streams belong to the host driver's "
+          "rewind/replay path, not the device scan")
     dts[i] = np.float64(t) - t_prev
     t_prev = np.float64(t)
     ki[i] = kind_to_idx[kind]

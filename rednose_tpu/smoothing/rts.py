@@ -89,6 +89,7 @@ def _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
       x_s = normalize_slices(x_s, spec.quaternion_idxs)
     P_s = P_k.at[:d2, :d2].add(
         Ck @ (P_next_s[:d2, :d2] - P_pred_next[:d2, :d2]) @ Ck.T)
+    P_s = 0.5 * (P_s + P_s.T)  # f32 covariance conditioning (see core/step.py)
     return (x_s, P_s), (x_s, P_s)
 
   init = (x_post[T - 1], P_post[T - 1])
@@ -191,6 +192,7 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
 
   xs = jax.vmap(inject)(x_post[:-1], e_acc)
   Ps = P_post[:-1].at[:, :d2, :d2].add(D_acc)
+  Ps = 0.5 * (Ps + jnp.swapaxes(Ps, -1, -2))  # f32 conditioning
   x_smooth = jnp.concatenate([xs, x_post[T - 1:]], axis=0)
   P_smooth = jnp.concatenate([Ps, P_post[T - 1:]], axis=0)
   return x_smooth, P_smooth
@@ -199,8 +201,7 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
 @functools.lru_cache(maxsize=None)
 def _jit_rts(spec: FilterSpec, norm_quats: bool, parallel: bool):
   fn = rts_smooth_parallel if parallel else rts_smooth
-  return jax.jit(functools.partial(fn, spec, norm_quats=norm_quats),
-                 static_argnames=())
+  return jax.jit(functools.partial(fn, spec, norm_quats=norm_quats))
 
 
 def smooth_estimates(spec: FilterSpec, params, estimates,
@@ -226,9 +227,8 @@ def smooth_estimates(spec: FilterSpec, params, estimates,
   # difference timestamps on the host in float64: epoch-scale t cast to f32
   # first would quantize dt (see runtime/scan.py pad_log)
   dts = jnp.asarray(t64[1:] - t64[:-1], dtype=dtype)
-  fn = rts_smooth_parallel if parallel else rts_smooth
-  xs, Ps = fn(spec, params, x_pred, P_pred, x_post, P_post, t,
-              norm_quats=norm_quats, dts=dts)
+  fn = _jit_rts(spec, norm_quats, parallel)  # cached compiled program
+  xs, Ps = fn(params, x_pred, P_pred, x_post, P_post, t, dts=dts)
   xs = np.asarray(xs)
   Ps = np.asarray(Ps)
   return [(xs[i], Ps[i]) for i in range(xs.shape[0])]

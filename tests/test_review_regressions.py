@@ -144,3 +144,66 @@ def test_full_track_features_are_dropped():
       jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty)))
   np.testing.assert_allclose(out[2, 0, 0], K)     # count unchanged
   assert np.all(out[[0, 1, 3, 4], 0, 0] == 0)      # no new track spawned
+
+
+def test_all_failed_triangulation_still_advances_window():
+  """A frame whose triangulations all fail must still predict + augment
+  (was: early None return desynced the clone window)."""
+  kf = MSCKFVisualOdometry()
+  kf.observe_camera_frame(0.1, np.zeros((0, N_AUGMENT, 2)))
+  t_before = list(kf.filter.get_augment_times())
+  # zero-baseline clones -> degenerate geometry -> all triangulations fail
+  kf.observe_camera_frame(0.2, np.full((2, N_AUGMENT, 2), 0.1))
+  assert kf.t == 0.2
+  t_after = kf.filter.get_augment_times()
+  assert t_after != t_before and t_after[-1] == 0.2
+
+
+def test_pad_log_rejects_out_of_order():
+  spec = KinematicKalman.build_spec()
+  log = [(0.2, KK.POSITION, [0.0], np.atleast_2d(0.01), None),
+         (0.1, KK.POSITION, [0.0], np.atleast_2d(0.01), None)]
+  with pytest.raises(ValueError, match="non-decreasing"):
+    pad_log(spec, (KK.POSITION,), log, t0=0.0)
+
+
+def test_checkpoint_roundtrips_augment_times(tmp_path):
+  from rednose_tpu.runtime.checkpoint import load_filter, save_filter
+
+  kf = MSCKFVisualOdometry()
+  for k in range(3):
+    kf.observe_camera_frame(0.1 * (k + 1), np.zeros((0, N_AUGMENT, 2)))
+  path = tmp_path / "msckf.npz"
+  save_filter(path, kf.filter)
+  kf2 = MSCKFVisualOdometry()
+  load_filter(path, kf2.filter)
+  assert kf2.filter.get_augment_times() == kf.filter.get_augment_times()
+
+
+def test_bank_epoch_time_advances():
+  """Epoch-scale t0 must not freeze bank time in float32 (was: t stored as
+  absolute f32, ulp(1.7e9)=256 s)."""
+  from rednose_tpu.runtime import bank as bank_ops
+
+  spec = KinematicKalman.build_spec()
+  state = bank_ops.init_bank(
+      spec, KinematicKalman.initial_x, np.diag(KinematicKalman.initial_P_diag),
+      batch=4, t0=1.7e9, dtype=jnp.float32)
+  z = jnp.zeros((4, 1), jnp.float32)
+  R = jnp.full((4, 1, 1), 0.01, jnp.float32)
+  ea = jnp.zeros((4, 1), jnp.float32)
+  Q = jnp.asarray(KinematicKalman.Q, jnp.float32)
+  state2, _ = bank_ops.bank_predict_and_update(
+      spec, KK.POSITION, {}, state, Q, jnp.asarray(0.01, jnp.float32), z, R, ea)
+  np.testing.assert_allclose(state2.absolute_t(), 1.7e9 + 0.01)
+
+
+def test_set_global_rejects_non_mapping_params():
+  from rednose_tpu.runtime.driver import FilterEngine
+
+  spec = KinematicKalman.build_spec()
+  eng = FilterEngine(spec, KinematicKalman.Q, KinematicKalman.initial_x,
+                     np.diag(KinematicKalman.initial_P_diag),
+                     params=(0.5, 0.2))
+  with pytest.raises(TypeError, match="mapping"):
+    eng.set_global('gain', 1.0)
