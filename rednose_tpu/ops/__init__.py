@@ -1,0 +1,1 @@
+from rednose_tpu.ops import quaternion  # noqa: F401

@@ -1,0 +1,1 @@
+from rednose_tpu.runtime.driver import Estimate, FilterEngine, KalmanError  # noqa: F401
