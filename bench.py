@@ -167,22 +167,26 @@ def main():
   rs = jnp.full((T,), 0.1**2, dtype=dtype)
   Q = KinematicKalman.Q
 
+  # scalar output + float() forces a true device sync through the axon
+  # relay; block_until_ready alone can return before the device finishes
+  # (CLAUDE.md timing rules — same method as bench_live_bank)
   @jax.jit
   def chain(s, zs):
     for _ in range(CHAIN):
       s = pallas_step.kinematic_bank_scan(
           s, zs, dts, rs, q00=float(Q[0, 0]), q11=float(Q[1, 1]), maha=True,
           t_chunk=T_CHUNK, tile_b=TILE_B)
-    return s
+    return jnp.sum(s)
 
-  # compile + warmup
-  out = jax.block_until_ready(chain(packed, zs))
-  assert bool(jnp.all(jnp.isfinite(out))), "non-finite filter state"
+  # compile + warmup; a finite sum certifies a finite filter state
+  # (any NaN/inf propagates into the reduction)
+  val = float(chain(packed, zs))
+  assert np.isfinite(val), "non-finite filter state"
 
   times = []
   for _ in range(REPS):
     t0 = time.perf_counter()
-    out = jax.block_until_ready(chain(packed, zs))
+    float(chain(packed, zs))
     times.append(time.perf_counter() - t0)
   best = min(times)
   steps_per_sec = (B * T * CHAIN) / best
