@@ -34,17 +34,20 @@ def log(*a):
 
 
 def bench_live_bank():
-  """Secondary config: lane-major live_kf ESKF bank (ops/lane_bank.py —
-  unrolled small-matrix covariance math on vector lanes)."""
+  """Live 23/22 ESKF bank, fused Pallas kernel (ops/pallas_live.py): the
+  bank state stays VMEM-resident across the whole scan while measurements
+  stream from HBM. BENCH_LIVE_PATH=lane benchmarks the generic pure-jnp
+  lane-major path (ops/lane_bank.py) instead."""
   import jax
   import jax.numpy as jnp
 
   from rednose_tpu.models.live import LiveKalman, ObservationKind
-  from rednose_tpu.ops import lane_bank
+  from rednose_tpu.ops import lane_bank, pallas_live
   from rednose_tpu.runtime import bank as bank_ops
 
-  B = int(os.environ.get("BENCH_BANK", 1024))
-  T = int(os.environ.get("BENCH_STEPS", 256))
+  path = os.environ.get("BENCH_LIVE_PATH", "pallas")
+  B = int(os.environ.get("BENCH_BANK", 8192 if path == "pallas" else 1024))
+  T = int(os.environ.get("BENCH_STEPS", 1024 if path == "pallas" else 256))
   spec = LiveKalman.build_spec()
   dtype = jnp.float32
   state = bank_ops.init_bank(
@@ -58,26 +61,47 @@ def bench_live_bank():
   P0 = lane_bank.to_lane(state.P)
   chain_n = int(os.environ.get("BENCH_CHAIN", 8))
 
-  # scalar output forces a true device sync through the relay
-  @jax.jit
-  def chain(x, P, zs):
-    for _ in range(chain_n):
-      x, P = lane_bank.lane_bank_scan(
-          spec, ObservationKind.ECEF_POS, {}, x, P, Q, dts, zs, R)
-    return jnp.sum(x) + jnp.sum(P)
+  if path == "pallas":
+    tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
+    t_chunk = int(os.environ.get("BENCH_T_CHUNK", 128))
+    q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
+    r_mat = tuple(tuple(float(v) for v in row) for row in np.asarray(R))
+    xp, Pp = pallas_live.pack_live_state(state.x, P0)
+    zsp = pallas_live.pack_measurements(zs)
 
-  float(chain(state.x, P0, zs))
+    # scalar output forces a true device sync through the relay
+    @jax.jit
+    def chain(xp, Pp, zsp):
+      for _ in range(chain_n):
+        xp, Pp = pallas_live.live_bank_scan(
+            xp, Pp, zsp, dts, q_diag=q_diag, r_mat=r_mat,
+            t_chunk=t_chunk, tile_b=tile_b)
+      return jnp.sum(xp) + jnp.sum(Pp)
+
+    args = (xp, Pp, zsp)
+  else:
+    @jax.jit
+    def chain(x, P, zs):
+      for _ in range(chain_n):
+        x, P = lane_bank.lane_bank_scan(
+            spec, ObservationKind.ECEF_POS, {}, x, P, Q, dts, zs, R)
+      return jnp.sum(x) + jnp.sum(P)
+
+    args = (state.x, P0, zs)
+
+  val = float(chain(*args))
+  assert np.isfinite(val), "non-finite filter state"
   times = []
   for _ in range(REPS):
     t0 = time.perf_counter()
-    float(chain(state.x, P0, zs))
+    float(chain(*args))
     times.append(time.perf_counter() - t0)
   best = min(times)
   steps_per_sec = (B * T * chain_n) / best
-  log(f"live lane bank: best {best*1e3:.2f} ms for {chain_n} chained scans "
-      f"-> {steps_per_sec/1e6:.2f}M steps/s")
+  log(f"live {path} bank B={B}: best {best*1e3:.2f} ms for {chain_n} chained "
+      f"scans -> {steps_per_sec/1e6:.2f}M steps/s")
   print(json.dumps({
-      "metric": "live_eskf_bank_predict_update_throughput",
+      "metric": f"live_eskf_bank_predict_update_throughput_{path}",
       "value": round(steps_per_sec, 1),
       "unit": "steps/sec/chip",
       "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
