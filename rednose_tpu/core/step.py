@@ -173,20 +173,32 @@ def _update_impl(spec, kind, params, x, P, z, R, ea, normalize):
 
 
 def update_batch(spec: FilterSpec, kind: int, params, x: Array, P: Array,
-                 z: Array, R: Array, ea: Array):
+                 z: Array, R: Array, ea: Array, valid: Array | None = None):
   """Apply n measurements of one kind sequentially (reference:
-  ekf_sym.py:513-522 loop). n is static; the loop unrolls at trace time."""
+  ekf_sym.py:513-522 loop). n is static; the loop unrolls at trace time.
+
+  `valid` (n,) bool marks real rows; rows with valid[i]=False leave (x, P)
+  bit-exactly unchanged. This lets the host driver pad a variable-length
+  measurement batch to a fixed bucket size so one compiled program serves
+  every n in the bucket (the reference's C path handles any n with one
+  binary, ekf_sym.cc:158-184)."""
   n = z.shape[0]
   ys = []
   for i in range(n):
-    x, P, y = update(spec, kind, params, x, P, z[i], R[i], ea[i])
+    x_new, P_new, y = update(spec, kind, params, x, P, z[i], R[i], ea[i])
+    if valid is None:
+      x, P = x_new, P_new
+    else:
+      x = jnp.where(valid[i], x_new, x)
+      P = jnp.where(valid[i], P_new, P)
     ys.append(y)
   return x, P, jnp.stack(ys) if ys else jnp.zeros((0,), dtype=x.dtype)
 
 
 def predict_and_update_batch(spec: FilterSpec, kind: int, params,
                              x: Array, P: Array, Q: Array, dt: Array,
-                             z: Array, R: Array, ea: Array):
+                             z: Array, R: Array, ea: Array,
+                             valid: Array | None = None):
   """Fused predict + batched update: the hot path (reference:
   ekf_sym.py:484-531 / ekf_sym.cc:158-184).
 
@@ -194,7 +206,8 @@ def predict_and_update_batch(spec: FilterSpec, kind: int, params,
   the reference's 9-tuple Estimate.
   """
   x_pred, P_pred = predict(spec, params, x, P, Q, dt)
-  x_post, P_post, y = update_batch(spec, kind, params, x_pred, P_pred, z, R, ea)
+  x_post, P_post, y = update_batch(spec, kind, params, x_pred, P_pred, z, R,
+                                   ea, valid)
   return x_pred, P_pred, x_post, P_post, y
 
 

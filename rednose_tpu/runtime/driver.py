@@ -180,25 +180,43 @@ class FilterEngine:
     dt = t - self.filter_time
     assert dt >= 0
 
+    # Bucket n to the next power of two with masked (bit-exact no-op) pad
+    # rows, so one compiled program serves every n in the bucket — a camera
+    # feeding variable track counts would otherwise thrash the jit cache
+    # (the reference's C path handles any n with one binary).
+    z_real, R_real = z, R  # unpadded views: checkpointed for replay
+    valid = None
+    if n:
+      bucket = 1 << (n - 1).bit_length()
+      if bucket > n:
+        pad = bucket - n
+        dz = z.shape[1]
+        z = np.concatenate([z, np.zeros((pad, dz))])
+        R = np.concatenate([R, np.tile(np.eye(dz)[None], (pad, 1, 1))])
+        ea = np.concatenate([ea, np.zeros((pad, ea.shape[1]))])
+      valid = jnp.asarray(np.arange(bucket) < n)
+
     fn = step_ops.jit_predict_and_update_batch(self.spec, kind)
     x_pred, P_pred, x_post, P_post, y = fn(
         self.params, self.x, self.P, self.Q,
         jnp.asarray(dt, dtype=self.dtype),
         jnp.asarray(z, dtype=self.dtype),
         jnp.asarray(R, dtype=self.dtype),
-        jnp.asarray(ea, dtype=self.dtype))
+        jnp.asarray(ea, dtype=self.dtype),
+        valid)
     self.x, self.P = x_post, P_post
     self.filter_time = t
 
     if augment:
       self.augment()
 
-    self.checkpoint((t, kind, z, R, extra_args))
+    self.checkpoint((t, kind, z_real, R_real, extra_args))
     # Estimate fields stay as device arrays: no host sync on the hot path
     # (device->host transfers are the dominant cost when the device is a
-    # remote TPU). Callers index/np.asarray lazily.
+    # remote TPU). Callers index/np.asarray lazily. Pad-row innovations are
+    # sliced off.
     return Estimate((x_pred, x_post, P_pred, P_post,
-                     t, kind, list(y), z, extra_args))
+                     t, kind, list(y)[:n], z_real, extra_args))
 
   def augment(self):
     """MSCKF pose-window augmentation (reference: ekf_sym.py:365-391)."""

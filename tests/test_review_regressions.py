@@ -140,8 +140,9 @@ def test_full_track_features_are_dropped():
   features[0] = [0, 100, 0.1, 0.1, 2]   # matches the full track -> dropped
   features[1] = [0, 101, 0.2, 0.2, -1]  # padding
   empty = np.array([0, 1, 3, 4], dtype=np.int64)
-  out = np.asarray(fh.merge_features(
-      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty)))
+  out, _ = fh.merge_features(
+      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty))
+  out = np.asarray(out)
   np.testing.assert_allclose(out[2, 0, 0], K)     # count unchanged
   assert np.all(out[[0, 1, 3, 4], 0, 0] == 0)      # no new track spawned
 
@@ -207,3 +208,71 @@ def test_set_global_rejects_non_mapping_params():
                      params=(0.5, 0.2))
   with pytest.raises(TypeError, match="mapping"):
     eng.set_global('gain', 1.0)
+
+
+def test_variable_batch_n_buckets_one_compile():
+  """Variable measurement counts n must reuse one compiled program per
+  power-of-two bucket (pad rows are masked, bit-exact no-ops), and results
+  must equal the unbucketed per-row oracle."""
+  import jax
+
+  from rednose_tpu.models.kinematic import KinematicKalman
+
+  kf = KinematicKalman()
+  spec = kf.spec
+  fn = step_ops.jit_predict_and_update_batch(spec, KK.POSITION)
+  cache_before = fn._cache_size()  # other tests share this lru-cached fn
+  rng = np.random.RandomState(0)
+
+  # oracle: plain sequential updates (no padding) in parallel bookkeeping
+  x_ref = jnp.asarray(KinematicKalman.initial_x, jnp.float64)
+  P_ref = jnp.asarray(np.diag(KinematicKalman.initial_P_diag), jnp.float64)
+  Q = jnp.asarray(KinematicKalman.Q, jnp.float64)
+
+  t = 0.0
+  first = True
+  for n in [1, 2, 3, 4, 5, 3, 1, 7]:
+    t += 0.25  # exactly representable: dt = t - filter_time stays bit-exact
+    z = rng.randn(n, 1)
+    R = np.tile(np.eye(1)[None] * 0.04, (n, 1, 1))
+    est = kf.filter.predict_and_update_batch(t, KK.POSITION, z, R)
+    assert len(est[6]) == n  # innovations trimmed to the real rows
+
+    # first observation initializes filter_time -> dt = 0 (reference
+    # semantics, ekf_sym.py:472-476)
+    x_ref, P_ref = step_ops.predict(spec, {}, x_ref, P_ref, Q,
+                                    jnp.asarray(0.0 if first else 0.25))
+    first = False
+    for i in range(n):
+      x_ref, P_ref, _ = step_ops.update(
+          spec, KK.POSITION, {}, x_ref, P_ref, jnp.asarray(z[i]),
+          jnp.asarray(R[i]), jnp.zeros((1,)))
+    # fused-vs-separate jit programs may differ by an ulp (FMA contraction)
+    np.testing.assert_allclose(kf.filter.state(), np.asarray(x_ref),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(kf.filter.covs(), np.asarray(P_ref),
+                               rtol=1e-12, atol=1e-15)
+
+  # n in {1..7} -> buckets {1, 2, 4, 8}: at most 4 new compiled programs...
+  cache_after = fn._cache_size()
+  assert cache_after - cache_before <= 4, (cache_before, cache_after)
+  # ...and re-feeding every n in [1, 8] compiles nothing new
+  for n in range(1, 9):
+    t += 0.25
+    kf.filter.predict_and_update_batch(
+        t, KK.POSITION, rng.randn(n, 1), np.tile(np.eye(1)[None], (n, 1, 1)))
+  assert fn._cache_size() == cache_after, fn._cache_size()
+
+  # masked pad rows are bit-exact no-ops: same compiled program, same real
+  # rows, different pad-row garbage -> identical outputs
+  x0 = jnp.asarray(KinematicKalman.initial_x, jnp.float64)
+  P0 = jnp.asarray(np.diag(KinematicKalman.initial_P_diag), jnp.float64)
+  zr = rng.randn(3, 1)
+  args = lambda pad: (jnp.asarray(np.concatenate([zr, [[pad]]])),
+                      jnp.asarray(np.tile(np.eye(1)[None], (4, 1, 1))),
+                      jnp.zeros((4, 1)),
+                      jnp.asarray([True, True, True, False]))
+  outs_a = fn({}, x0, P0, Q, jnp.asarray(0.25), *args(0.0))
+  outs_b = fn({}, x0, P0, Q, jnp.asarray(0.25), *args(9.9e9))
+  np.testing.assert_array_equal(np.asarray(outs_a[2]), np.asarray(outs_b[2]))
+  np.testing.assert_array_equal(np.asarray(outs_a[3]), np.asarray(outs_b[3]))
