@@ -37,4 +37,9 @@ def registered_filters() -> dict[str, type]:
 
 def _ensure_builtins():
   # import for side effect: the shipped models self-register via @register
-  from rednose_tpu.models import kinematic, live, msckf_vo  # noqa: F401
+  from rednose_tpu.models import (  # noqa: F401
+      kinematic,
+      live,
+      msckf_eskf,
+      msckf_vo,
+  )
