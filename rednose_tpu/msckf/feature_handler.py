@@ -74,9 +74,14 @@ def merge_features(tracks, features, empty_idxs):
     tracks: (n_tracks, K+1, 5) store.
     features: (n_features, 5) rows [x, next_id, u, v, match_idx]; rows with
       match_idx < 0 are padding and ignored.
-    empty_idxs: (n_features,) int indices of currently-empty track slots,
-      consumed in order by new tracks.
-  Returns the updated tracks array.
+    empty_idxs: int indices of currently-empty track slots, consumed in
+      order by new tracks; entries >= n_tracks are sentinels for "no slot"
+      (empty_slots pads with them when the store is nearly full).
+  Returns (tracks, n_dropped): the updated store and the number of NEW
+  tracks that could not start because the supplied empty slots ran out
+  (the reference C bounds allocation by the caller's counter,
+  feature_handler.c:46-52; silently colliding on the last slot is not an
+  option, so overflowing tracks are dropped and counted).
   """
   n_tracks, K_plus_1, _ = tracks.shape
   K = K_plus_1 - 1
@@ -123,14 +128,18 @@ def merge_features(tracks, features, empty_idxs):
   # ---- new tracks ----------------------------------------------------------
   is_new = live & jnp.logical_not(is_append) & jnp.logical_not(dropped_full)
   rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-  slot_idx = empty_idxs[jnp.clip(rank, 0, empty_idxs.shape[0] - 1)]
-  slot_idx = jnp.where(is_new, slot_idx, n_tracks).astype(jnp.int32)
+  n_slots = empty_idxs.shape[0]
+  in_range = is_new & (rank < n_slots)
+  slot_idx = empty_idxs[jnp.clip(rank, 0, n_slots - 1)]
+  slot_idx = jnp.where(in_range, slot_idx, n_tracks).astype(jnp.int32)
+  # dropped: ran past the supplied slots, or landed on a sentinel pad entry
+  n_dropped = jnp.sum(is_new & (slot_idx >= n_tracks))
   hdr_new = jnp.stack([
       jnp.ones((nf,), dtype), features[:, 1], jnp.ones((nf,), dtype),
       jnp.zeros((nf,), dtype), jnp.zeros((nf,), dtype)], axis=1)
   tracks = tracks.at[slot_idx, 0].set(hdr_new, mode='drop')
   tracks = tracks.at[slot_idx, 1].set(features, mode='drop')
-  return tracks
+  return tracks, n_dropped
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -114,10 +114,40 @@ def test_merge_features_matches_sequential_oracle():
 
   empty = np.array(sorted(set(range(n_tracks))
                           - {2, 5, 7, 9}), dtype=np.int64)[:nf]
-  got = np.asarray(fh.merge_features(
-      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty)))
+  got, n_dropped = fh.merge_features(
+      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty))
   want = _merge_oracle(tracks, features, empty, K)
-  np.testing.assert_allclose(got, want)
+  np.testing.assert_allclose(np.asarray(got), want)
+  assert int(n_dropped) == 0
+
+
+def test_merge_features_overflow_is_counted_not_collided():
+  """More new tracks than supplied empty slots: the overflow is dropped and
+  counted; the last empty slot holds exactly one track (no last-wins
+  collision) and every other store entry is untouched."""
+  K, n_tracks = 3, 16
+  tracks = np.zeros((n_tracks, K + 1, 5))
+  nf = 6  # 6 new tracks, only 2 empty slots supplied
+  features = np.zeros((nf, 5))
+  for i in range(nf):
+    features[i] = [0, 100 + i, 0.1 * i, 0.2 * i, 5 + i]  # no matches -> new
+  empty = np.array([3, 8], dtype=np.int64)
+  out, n_dropped = fh.merge_features(
+      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty))
+  out = np.asarray(out)
+  assert int(n_dropped) == 4
+  np.testing.assert_allclose(out[3, 1], features[0])  # first new track
+  np.testing.assert_allclose(out[8, 1], features[1])  # second new track
+  untouched = [i for i in range(n_tracks) if i not in (3, 8)]
+  assert np.all(out[untouched] == 0)
+
+  # sentinel pad entries (>= n_tracks, as emitted by empty_slots on a nearly
+  # full store) count as dropped too
+  empty_pad = np.array([3, n_tracks, n_tracks], dtype=np.int64)
+  out2, n_dropped2 = fh.merge_features(
+      jnp.asarray(tracks), jnp.asarray(features), jnp.asarray(empty_pad))
+  assert int(n_dropped2) == 5
+  assert np.all(np.asarray(out2)[[i for i in range(n_tracks) if i != 3]] == 0)
 
 
 def test_sane_matches_oracle():
