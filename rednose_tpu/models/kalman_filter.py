@@ -45,13 +45,13 @@ class KalmanFilter:
     return self.filter.covs()
 
   def init_state(self, state, covs_diag=None, covs=None, filter_time=None):
+    """Re-seed the filter (warm-start surface; openpilot feeds its persisted
+    state through here). An explicit diagonal wins over a full matrix; with
+    neither, the current covariance is kept."""
     if covs_diag is not None:
-      P = np.diag(covs_diag)
-    elif covs is not None:
-      P = covs
-    else:
-      P = self.filter.covs()
-    self.filter.init_state(state, P, filter_time)
+      covs = np.diag(covs_diag)
+    self.filter.init_state(
+        state, self.filter.covs() if covs is None else covs, filter_time)
 
   def get_R(self, kind, n):
     """Tile the per-kind noise matrix to a batch (kalmanfilter.py:37-43)."""
@@ -60,8 +60,6 @@ class KalmanFilter:
     return np.tile(obs_noise[None, :, :], (n, 1, 1)).reshape(n, dim, dim)
 
   def predict_and_observe(self, t, kind, data, R=None):
-    if len(data) > 0:
-      data = np.atleast_2d(data)
-    if R is None:
-      R = self.get_R(kind, len(data))
+    data = np.atleast_2d(data) if len(data) else data
+    R = self.get_R(kind, len(data)) if R is None else R
     return self.filter.predict_and_update_batch(t, kind, data, R)

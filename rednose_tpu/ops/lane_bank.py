@@ -132,7 +132,7 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
   """Bank update: z (B, dz), R (dz, dz) shared or (dz, dz, B) lane-major.
 
   Same math as core/step.py update (innovation, ESKF H.H_mod, Mahalanobis
-  R-inflation gate, closed-form S^-1, Joseph form), restructured lane-major.
+  zero-gain gate, closed-form S^-1, Joseph form), restructured lane-major.
   """
   om = spec.obs[kind]
   dz, de = om.dz, spec.dim_err

@@ -20,8 +20,9 @@ Packed state (5 slabs x 8 sublanes = 40 rows):
 
 Covariance math is the scalar closed form of the generic step for
   F = [[1, dt], [0, 1]],  H = [1, 0],  diagonal Q, scalar R
-including the Mahalanobis soft gate (R inflation, ekf_c.c:88-94) and the
-Joseph-form covariance update (ekf_c.c:115). Parity with core/step.py is
+including the Mahalanobis gate — implemented as zero-gain rejection, the
+exact R->inf limit of the reference's 1e16 R inflation (ekf_c.c:88-94),
+overflow-safe in f32 — and the Joseph-form covariance update (ekf_c.c:115). Parity with core/step.py is
 asserted in tests (interpret mode on CPU, compiled on TPU).
 """
 

@@ -17,8 +17,17 @@ from rednose_tpu.runtime.bank import BankState
 
 
 def save_filter(path, engine):
-  """Persist a FilterEngine's resumable state (x, P, filter_time, params)."""
+  """Persist a FilterEngine's resumable state (x, P, filter_time, params).
+
+  For the common flat-mapping params case the keys are saved too, so
+  load_filter can rebuild the dict without an externally-kept treedef."""
   leaves, treedef = jax.tree.flatten(engine.params)
+  extra = {}
+  if (isinstance(engine.params, dict)
+      and all(isinstance(k, str) for k in engine.params)
+      and len(leaves) == len(engine.params)):  # flat: one leaf per key
+    # jax flattens dicts in sorted-key order; record that same order
+    extra["param_keys"] = np.asarray(sorted(engine.params), dtype=np.str_)
   np.savez(
       path,
       x=np.asarray(engine.x),
@@ -28,22 +37,34 @@ def save_filter(path, engine):
       augment_times=np.asarray(engine.augment_times, dtype=np.float64),
       n_params=np.asarray(len(leaves)),
       **{f"param_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+      **extra,
   )
   return treedef  # caller keeps the treedef if params have structure
 
 
 def load_filter(path, engine, treedef=None):
   """Restore a FilterEngine from save_filter output (rewind ring resets,
-  matching init_state semantics, ekf_sym.py:351-358)."""
+  matching init_state semantics, ekf_sym.py:351-358). Saved runtime params
+  are restored via `treedef` (any pytree) or the self-describing saved keys
+  (flat string-keyed dicts); raises rather than silently resuming with the
+  engine's current params when neither is available."""
   with np.load(path) as data:
     t = float(data["filter_time"])
     engine.init_state(data["x"], data["P"], None if np.isnan(t) else t)
     if "augment_times" in data:  # MSCKF clone-window bookkeeping
       engine.augment_times = list(data["augment_times"])
     n = int(data["n_params"])
-    if treedef is not None and n:
+    if n:
       leaves = [jnp.asarray(data[f"param_{i}"]) for i in range(n)]
-      engine.params = jax.tree.unflatten(treedef, leaves)
+      if treedef is not None:
+        engine.params = jax.tree.unflatten(treedef, leaves)
+      elif "param_keys" in data:
+        keys = [str(k) for k in data["param_keys"]]
+        engine.params = dict(zip(keys, leaves))
+      else:
+        raise ValueError(
+            f"checkpoint carries {n} param leaves of a non-mapping pytree; "
+            "pass the treedef returned by save_filter to restore them")
   return engine
 
 

@@ -62,7 +62,8 @@ def _padded_update(spec: FilterSpec, kind: int, max_dz: int, params, x, P,
 
 def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
   """Compile-time setup: returns (scan_fn, kind_index) where scan_fn runs an
-  entire mixed-kind log on device.
+  entire mixed-kind log on device. Cached on (spec, kinds): repeated calls
+  return the same jitted function, so nothing re-traces or re-compiles.
 
   kinds: the observation kinds that may appear in the stream (static).
   scan_fn(params, x, P, Q, dts, kind_idx, zs, Rs, eas) ->
@@ -76,7 +77,11 @@ def build_scan_stream(spec: FilterSpec, kinds: Sequence[int]):
     Rs (T, max_dz, max_dz) padded noise (PAD_R diagonal on padded slots),
     eas (T, max_ea) padded extra args.
   """
-  kinds = tuple(kinds)
+  return _build_scan_stream_cached(spec, tuple(kinds))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_scan_stream_cached(spec: FilterSpec, kinds: tuple):
   max_dz = max(spec.obs[k].dz for k in kinds)
 
   branches = tuple(

@@ -4,11 +4,18 @@ TPU-native rebuild of the reference smoother (rednose/helpers/ekf_sym.py:651-690
 which is a strictly sequential Python backward loop over the estimate list. Two
 implementations are provided:
 
-  * `rts_smooth` — exact semantics match: a `lax.scan` backward pass that
-    smooths only the main (non-augmented) state block, computes the smoothed
-    delta through the spec's inv_err/err functions so it is ESKF-correct, and
-    optionally renormalizes quaternions. O(T) sequential depth, but each step
-    is one fused XLA program instead of T Python iterations with cffi calls.
+  * `rts_smooth` — a `lax.scan` backward pass that smooths only the main
+    (non-augmented) state block, computes the smoothed delta through the
+    spec's inv_err/err functions so it is ESKF-correct, and optionally
+    renormalizes quaternions. O(T) sequential depth, but each step is one
+    fused XLA program instead of T Python iterations with cffi calls.
+    One DELIBERATE deviation from the reference: the backward pass is seeded
+    from the last POSTERIOR (x_post[T-1], P_post[T-1]) — the textbook
+    boundary condition — whereas ekf_sym.rts_smooth seeds from the last
+    PREDICTED state (ekf_sym.py:661-663), which silently drops the final
+    measurement. Smoothed outputs therefore differ from the reference near
+    the trajectory tail (and are more accurate there); the live-oracle
+    comparison in tests/test_live_kf.py covers this.
 
   * `rts_smooth_parallel` — parallel-in-time formulation via
     `jax.lax.associative_scan`. The smoothed correction obeys the affine
