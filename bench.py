@@ -46,8 +46,9 @@ def bench_live_bank():
   from rednose_tpu.runtime import bank as bank_ops
 
   path = os.environ.get("BENCH_LIVE_PATH", "pallas")
-  B = int(os.environ.get("BENCH_BANK", 8192 if path == "pallas" else 1024))
-  T = int(os.environ.get("BENCH_STEPS", 1024 if path == "pallas" else 256))
+  fused = path in ("pallas", "mixed")
+  B = int(os.environ.get("BENCH_BANK", 8192 if fused else 1024))
+  T = int(os.environ.get("BENCH_STEPS", 1024 if fused else 256))
   spec = LiveKalman.build_spec()
   dtype = jnp.float32
   state = bank_ops.init_bank(
@@ -61,22 +62,48 @@ def bench_live_bank():
   P0 = lane_bank.to_lane(state.P)
   chain_n = int(os.environ.get("BENCH_CHAIN", 8))
 
-  if path == "pallas":
+  if path in ("pallas", "mixed"):
     tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
     t_chunk = int(os.environ.get("BENCH_T_CHUNK", 128))
     q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
-    r_mat = tuple(tuple(float(v) for v in row) for row in np.asarray(R))
     xp, Pp = pallas_live.pack_live_state(state.x, P0)
-    zsp = pallas_live.pack_measurements(zs)
 
-    # scalar output forces a true device sync through the relay
-    @jax.jit
-    def chain(xp, Pp, zsp):
-      for _ in range(chain_n):
-        xp, Pp = pallas_live.live_bank_scan(
-            xp, Pp, zsp, dts, q_diag=q_diag, r_mat=r_mat,
-            t_chunk=t_chunk, tile_b=tile_b)
-      return jnp.sum(xp) + jnp.sum(Pp)
+    if path == "mixed":
+      # realistic heterogeneous sensor schedule: gyro/accel/cam-rot/pos
+      # cycling at sensor rate, one fused kernel dispatching per-kind
+      # closed-form updates via lax.switch
+      K = ObservationKind
+      kinds = (K.PHONE_GYRO, K.PHONE_ACCEL, K.CAMERA_ODO_ROTATION,
+               K.ECEF_POS)
+      r_mats = tuple(
+          tuple(tuple(float(v) for v in row)
+                for row in LiveKalman.obs_noise[k]) for k in kinds)
+      kind_idx = jnp.asarray(np.arange(T) % len(kinds), jnp.int32)
+      pos_rows = jnp.asarray((np.arange(T) % len(kinds)) == 3)
+      zs = jnp.where(pos_rows[:, None, None], zs,
+                     0.05 * jax.random.normal(jax.random.key(1), (T, B, 3),
+                                              dtype=dtype))
+      zsp = pallas_live.pack_measurements(zs)
+
+      @jax.jit
+      def chain(xp, Pp, zsp):
+        for _ in range(chain_n):
+          xp, Pp = pallas_live.live_bank_scan_mixed(
+              xp, Pp, zsp, dts, kind_idx, q_diag=q_diag, kinds=kinds,
+              r_mats=r_mats, t_chunk=t_chunk, tile_b=tile_b)
+        return jnp.sum(xp) + jnp.sum(Pp)
+    else:
+      r_mat = tuple(tuple(float(v) for v in row) for row in np.asarray(R))
+      zsp = pallas_live.pack_measurements(zs)
+
+      # scalar output forces a true device sync through the relay
+      @jax.jit
+      def chain(xp, Pp, zsp):
+        for _ in range(chain_n):
+          xp, Pp = pallas_live.live_bank_scan(
+              xp, Pp, zsp, dts, q_diag=q_diag, r_mat=r_mat,
+              t_chunk=t_chunk, tile_b=tile_b)
+        return jnp.sum(xp) + jnp.sum(Pp)
 
     args = (xp, Pp, zsp)
   else:

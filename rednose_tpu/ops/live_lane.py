@@ -156,48 +156,10 @@ def live_predict_slab(x, P, Q, dt):
 
 def live_update_pos_slab(x, P, z, R, gate: bool = False,
                          gate_thresh: float = MAHA_THRESH_3D):
-  """Fused ECEF_POS update on slab state: z (3, *b), R (3, 3) shared,
-  (3, 3, *b) per-filter, or a static 3x3 nested tuple of scalars (Pallas
-  kernel path — see live_predict_slab). H = [I3 | 0] so HP = P[:3] (module
-  docstring); zero-gain Mahalanobis rejection (the exact R->inf limit of
-  ekf_c.c:88-94) when `gate`. Returns (x, P, y)."""
-  bdims = x.ndim - 1
-  y = z - x[0:3]
-  HP = P[0:3]                            # (3, 22, *b)
-  if isinstance(R, tuple):  # static scalars
-    S = jnp.stack([
-        jnp.stack([HP[i, j] + R[i][j] for j in range(3)]) for i in range(3)])
-  else:
-    if R.ndim == 2:
-      R = R.reshape(R.shape + (1,) * bdims)
-    S = HP[:, 0:3] + R                   # (3, 3, *b)
-  Sinv = _inv3(S)
-  K = _mm_l(P[:, 0:3], Sinv, 3)          # P H^T S^-1, (22, 3, *b)
-  if gate:
-    dist = sum(y[i] * Sinv[i, j] * y[j] for i in range(3) for j in range(3))
-    K = jnp.where(dist[None, None] > gate_thresh, 0.0, K)
-  dx = sum(K[:, i] * y[i][None] for i in range(3))  # (22, *b)
-
-  # Joseph form, expanded (exact identity for symmetric P, any K)
-  KHP = _mm_l(K, HP, 3)                  # (22, 22, *b)
-  KS = _mm_l(K, S, 3)                    # (22, 3, *b)
-  KSK = _mm_rt(KS, K, 3)                 # (22, 22, *b)
-  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
-
-  # ESKF error injection (live_kf.py:200-205): additive except the
-  # quaternion, which composes with delta = [1, 0.5*dtheta] through the
-  # right product matrix: q_new = quat_matrix_r(q) @ delta.
-  q = x[3:7]
-  d1, d2, d3 = 0.5 * dx[3], 0.5 * dx[4], 0.5 * dx[5]
-  q_new = jnp.stack([
-      q[0] - q[1] * d1 - q[2] * d2 - q[3] * d3,
-      q[1] + q[0] * d1 + q[3] * d2 - q[2] * d3,
-      q[2] - q[3] * d1 + q[0] * d2 + q[1] * d3,
-      q[3] + q[2] * d1 - q[1] * d2 + q[0] * d3,
-  ])
-  x_new = jnp.concatenate([x[0:3] + dx[0:3], q_new, x[7:] + dx[6:]])
-  x_new = _normalize_quat(x_new)
-  return x_new, P_new, y
+  """Fused ECEF_POS update on slab state: the kind=ECEF_POS case of the
+  generic sparse update below (H = [I3 | 0], so HP = P[:3]). Kept as a
+  named entry point for the single-kind Pallas kernel."""
+  return live_update_slab(12, x, P, z, R, gate=gate, gate_thresh=gate_thresh)
 
 
 def live_step_slab(x, P, Q, dt, z, R, gate: bool = False):
@@ -229,3 +191,245 @@ def live_lane_scan(x, P, Q, dts, zs, R, gate: bool = False):
 @functools.lru_cache(maxsize=None)
 def jit_live_lane_scan(gate: bool = False):
   return jax.jit(functools.partial(live_lane_scan, gate=gate))
+
+
+# ---------------------------------------------------------------------------
+# Closed-form sparse H for EVERY live observation kind (the full sympy-
+# codegen replacement): each kind's H = H_raw @ H_mod is a handful of 3x3
+# (or 1x3) blocks on a small set of error-state columns. Derivations are
+# verified exactly against jacfwd H @ H_mod in tests/test_live_lane.py.
+#
+# Key identities (R = Rz(y)Ry(p)Rx(r) extrinsic euler; q composes on the
+# left, q_new = dq (x) q, so R(q_new) = R(dq) R(q)):
+#   d(R(e)u)/de   = [ (R e_x) x u', (Rz e_y) x u', e_z x u' ],  u' = R(e)u
+#   d(R(q)^T u)/d(dtheta) = R(q)^T skew(u)
+# ---------------------------------------------------------------------------
+
+# error-state column offsets (models/live.py States *_ERR slices)
+_POS, _ATT, _VEL, _OMEGA = 0, 3, 6, 9
+_BIAS, _SCALE, _ACC, _OFF = 12, 15, 16, 19
+
+EARTH_GM = 3.986005e14
+
+
+def _cross(a, b):
+  """(3, *b) x (3, *b) elementwise cross product."""
+  return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0]])
+
+
+def _euler_rot_slab(e):
+  """euler_to_rot on slab euler angles (3, *b) -> (3, 3, *b). The jnp
+  helper's trailing-dims @ does not fit lane-major layout."""
+  cr, sr = jnp.cos(e[0]), jnp.sin(e[0])
+  cp, sp_ = jnp.cos(e[1]), jnp.sin(e[1])
+  cy, sy = jnp.cos(e[2]), jnp.sin(e[2])
+  one, zero = jnp.ones_like(cr), jnp.zeros_like(cr)
+  r_roll = jnp.stack([jnp.stack([one, zero, zero]),
+                      jnp.stack([zero, cr, -sr]),
+                      jnp.stack([zero, sr, cr])])
+  r_pitch = jnp.stack([jnp.stack([cp, zero, sp_]),
+                       jnp.stack([zero, one, zero]),
+                       jnp.stack([-sp_, zero, cp])])
+  r_yaw = jnp.stack([jnp.stack([cy, -sy, zero]),
+                     jnp.stack([sy, cy, zero]),
+                     jnp.stack([zero, zero, one])])
+  return _mm_l(r_yaw, _mm_l(r_pitch, r_roll, 3), 3)
+
+
+def _transpose33(M):
+  return jnp.swapaxes(M, 0, 1)
+
+
+def _d_euler_rot(e, Re, u_prime):
+  """d(R(e)u)/de as (3, 3, *b) given R(e) and u' = R(e)u (see header)."""
+  cy, sy = jnp.cos(e[2]), jnp.sin(e[2])
+  zero = jnp.zeros_like(cy)
+  one = jnp.ones_like(cy)
+  col_r = _cross(Re[:, 0], u_prime)                       # (R e_x) x u'
+  col_p = _cross(jnp.stack([-sy, cy, zero]), u_prime)     # (Rz e_y) x u'
+  col_y = _cross(jnp.stack([zero, zero, one]), u_prime)   # e_z x u'
+  return jnp.stack([col_r, col_p, col_y], axis=1)
+
+
+def _skew_slab(v):
+  zero = jnp.zeros_like(v[0])
+  return jnp.stack([jnp.stack([zero, -v[2], v[1]]),
+                    jnp.stack([v[2], zero, -v[0]]),
+                    jnp.stack([-v[1], v[0], zero])])
+
+
+# Each builder: x (23, *b) -> (h (dz, *b), blocks); blocks is a tuple of
+# (col, width, Hb) with Hb (dz, width, *b) or None for an identity block.
+
+def _hH_ecef_pos(x):
+  return x[0:3], ((_POS, 3, None),)
+
+
+def _hH_no_rot(x):
+  return x[10:13], ((_OMEGA, 3, None),)
+
+
+def _hH_imu_frame(x):
+  return x[20:23], ((_OFF, 3, None),)
+
+
+def _hH_odo_speed(x):
+  v, s = x[7:10], x[16]
+  speed = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+  h = (speed * s)[None]
+  Hv = (s / speed) * v  # s * v^T / |v|
+  return h, ((_VEL, 3, Hv[None]), (_SCALE, 1, speed[None, None]))
+
+
+def _hH_cam_trans(x):
+  q, v = x[3:7], x[7:10]
+  RqT = _transpose33(quat_to_rot(q))
+  h = _mv(RqT, v, 3)
+  return h, ((_ATT, 3, _mm_l(RqT, _skew_slab(v), 3)), (_VEL, 3, RqT))
+
+
+def _hH_gyro(x):
+  w, b_, o = x[10:13], x[13:16], x[20:23]
+  Re = _euler_rot_slab(o)
+  up = _mv(Re, w + b_, 3)
+  return up, ((_OMEGA, 3, Re), (_BIAS, 3, Re), (_OFF, 3, _d_euler_rot(o, Re, up)))
+
+
+def _hH_accel(x):
+  p, q, a, o = x[0:3], x[3:7], x[17:20], x[20:23]
+  Rq = quat_to_rot(q)
+  RqT = _transpose33(Rq)
+  Re = _euler_rot_slab(o)
+  r2 = p[0] * p[0] + p[1] * p[1] + p[2] * p[2]
+  scale = EARTH_GM / (r2 * jnp.sqrt(r2))
+  u = scale * p                                  # GM p / r^3
+  g = _mv(RqT, u, 3)
+  h = _mv(Re, g + a, 3)
+  ReRqT = _mm_l(Re, RqT, 3)
+  # d u / d p = scale * (I - 3 p p^T / r^2)
+  php = jnp.stack([jnp.stack([p[i] * p[j] for j in range(3)])
+                   for i in range(3)]) * (3.0 / r2)
+  eye3 = jnp.zeros_like(php)
+  eye3 = jnp.stack([
+      jnp.stack([jnp.ones_like(r2) if i == j else jnp.zeros_like(r2)
+                 for j in range(3)]) for i in range(3)])
+  Hp = scale * _mm_l(ReRqT, eye3 - php, 3)
+  return h, ((_POS, 3, Hp),
+             (_ATT, 3, _mm_l(ReRqT, _skew_slab(u), 3)),
+             (_ACC, 3, Re),
+             (_OFF, 3, _d_euler_rot(o, Re, h)))
+
+
+# kind -> (dz, builder); NO_ROT and CAMERA_ODO_ROTATION share h = omega
+LANE_KINDS = {
+    12: (3, _hH_ecef_pos),        # ObservationKind.ECEF_POS
+    9: (3, _hH_no_rot),           # NO_ROT
+    14: (3, _hH_no_rot),          # CAMERA_ODO_ROTATION
+    19: (3, _hH_imu_frame),       # IMU_FRAME
+    3: (1, _hH_odo_speed),        # ODOMETRIC_SPEED
+    13: (3, _hH_cam_trans),       # CAMERA_ODO_TRANSLATION
+    4: (3, _hH_gyro),             # PHONE_GYRO
+    10: (3, _hH_accel),           # PHONE_ACCEL
+}
+
+
+def _inject(x, dx):
+  """ESKF error injection + quat renorm (shared by all updates)."""
+  q = x[3:7]
+  d1, d2, d3 = 0.5 * dx[3], 0.5 * dx[4], 0.5 * dx[5]
+  q_new = jnp.stack([
+      q[0] - q[1] * d1 - q[2] * d2 - q[3] * d3,
+      q[1] + q[0] * d1 + q[3] * d2 - q[2] * d3,
+      q[2] - q[3] * d1 + q[0] * d2 + q[1] * d3,
+      q[3] + q[2] * d1 - q[1] * d2 + q[0] * d3,
+  ])
+  return _normalize_quat(
+      jnp.concatenate([x[0:3] + dx[0:3], q_new, x[7:] + dx[6:]]))
+
+
+def live_update_slab(kind: int, x, P, z, R, gate: bool = False,
+                     gate_thresh: float | None = None):
+  """Fused update for ANY live observation kind on slab state, via the
+  kind's closed-form sparse H blocks (header). z (dz, *b); R (dz, dz)
+  array, (dz, dz, *b), or static nested scalar tuple (Pallas path).
+  Returns (x, P, y)."""
+  dz, builder = LANE_KINDS[kind]
+  h, blocks = builder(x)
+  y = z - h
+
+  # HP = H @ P, accumulating per sparse block (identity block = row slice)
+  HP = None
+  for c, w, Hb in blocks:
+    term = P[c:c + w] if Hb is None else _mm_l(Hb, P[c:c + w], w)
+    HP = term if HP is None else HP + term  # (dz, 22, *b)
+  # S = HP @ H^T + R
+  S = None
+  for c, w, Hb in blocks:
+    term = HP[:, c:c + w] if Hb is None else _mm_rt(HP[:, c:c + w], Hb, w)
+    S = term if S is None else S + term
+  if isinstance(R, tuple):
+    S = jnp.stack([jnp.stack([S[i, j] + R[i][j] for j in range(dz)])
+                   for i in range(dz)])
+  else:
+    if R.ndim == 2:
+      R = R.reshape(R.shape + (1,) * (x.ndim - 1))
+    S = S + R
+
+  if dz == 1:
+    Sinv = 1.0 / S
+  elif dz == 3:
+    Sinv = _inv3(S)
+  else:
+    raise NotImplementedError(f"dz={dz}")
+  K = _mm_l(jnp.swapaxes(HP, 0, 1), Sinv, dz)  # P H^T S^-1 (P symmetric)
+  if gate:
+    if gate_thresh is None:
+      gate_thresh = chi2_ppf(0.95, dz)
+    dist = sum(y[i] * Sinv[i, j] * y[j]
+               for i in range(dz) for j in range(dz))
+    K = jnp.where(dist[None, None] > gate_thresh, 0.0, K)
+  dx = sum(K[:, i] * y[i][None] for i in range(dz))
+
+  KHP = _mm_l(K, HP, dz)
+  KS = _mm_l(K, S, dz)
+  KSK = _mm_rt(KS, K, dz)
+  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
+  return _inject(x, dx), P_new, y
+
+
+def live_mixed_scan(x, P, Q, dts, kind_idx, zs, R_by_kind, kinds: tuple,
+                    gate: bool = False):
+  """Scan a HETEROGENEOUS sensor stream over the lane-major live bank: one
+  fused predict+update per step with `lax.switch` over the closed-form
+  per-kind updates — the reference's real workload (several observation
+  kinds at sensor rate, ekf_sym.cc:158-184) at bank scale.
+
+  Args: x (B, 23), P (22, 22, B), Q (22, 22), dts (T,), kind_idx (T,) int32
+  indices into `kinds`, zs (T, B, 3) padded to dz<=3, R_by_kind mapping
+  kind -> (dz, dz) shared noise. Returns final (x (B, 23), P).
+  """
+  xl = x.T
+  branches = tuple(
+      (lambda k: lambda xc, Pc, z: live_update_slab(
+          k, xc, Pc, z[:LANE_KINDS[k][0]], R_by_kind[k], gate=gate)[:2])(k)
+      for k in kinds)
+
+  def body(carry, inp):
+    xc, Pc = carry
+    dt, ki, z = inp
+    xc, Pc = live_predict_slab(xc, Pc, Q, dt)
+    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z.T)
+    return (xc, Pc), None
+
+  (xl, P), _ = jax.lax.scan(body, (xl, P), (dts, kind_idx, zs))
+  return xl.T, P
+
+
+@functools.lru_cache(maxsize=None)
+def jit_live_mixed_scan(kinds: tuple, gate: bool = False):
+  def fn(x, P, Q, dts, kind_idx, zs, R_list):
+    return live_mixed_scan(x, P, Q, dts, kind_idx, zs,
+                           dict(zip(kinds, R_list)), kinds, gate=gate)
+  return jax.jit(fn)

@@ -149,3 +149,105 @@ def live_bank_scan(x_packed, P_packed, zs_packed, dts, *, q_diag, r_mat,
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(dts.reshape(T, 1), x_packed, P_packed, zs_packed)
+
+
+def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref,
+                  p_out_ref, *, t_chunk: int, q_diag, kinds, r_mats,
+                  gate: bool):
+  from rednose_tpu.ops.live_lane import live_update_slab
+
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    x_out_ref[:] = x_in_ref[:]
+    p_out_ref[:] = p_in_ref[:]
+
+  from rednose_tpu.ops.live_lane import LANE_KINDS, live_predict_slab
+
+  branches = tuple(
+      (lambda k, r: lambda x, P, z: live_update_slab(
+          k, x, P, z[:LANE_KINDS[k][0]], r, gate=gate)[:2])(k, r)
+      for k, r in zip(kinds, r_mats))
+
+  def body(t, carry):
+    x, P = carry
+    dt = dts_ref[t, 0]
+    ki = kinds_ref[t, 0]
+    z = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])
+    x, P = live_predict_slab(x, P, q_diag, dt)
+    x, P = jax.lax.switch(ki, branches, x, P, z)
+    return (x, P)
+
+  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
+  x_out_ref[:] = x
+  p_out_ref[:] = P
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('q_diag', 'kinds', 'r_mats', 'gate', 't_chunk',
+                     'tile_b', 'interpret'))
+def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx, *,
+                         q_diag, kinds, r_mats, gate: bool = False,
+                         t_chunk: int = 128, tile_b: int = 1024,
+                         interpret: bool = False):
+  """Heterogeneous-kind fused live bank: like live_bank_scan, but each step
+  dispatches (lax.switch) to the closed-form update of kinds[kind_idx[t]] —
+  the whole multi-sensor schedule runs in ONE kernel with VMEM-resident
+  state.
+
+  Extra args vs live_bank_scan:
+    kind_idx: (T,) int32 indices into `kinds` (streamed via SMEM).
+    kinds: static tuple of live ObservationKind ids (each in
+      live_lane.LANE_KINDS).
+    r_mats: static per-kind measurement noise, tuple (aligned with kinds)
+      of (dz, dz) nested scalar tuples.
+  zs_packed rows are padded to dz<=3; dz=1 kinds read row 0.
+  """
+  T = zs_packed.shape[0]
+  bsub = x_packed.shape[-1]
+  B = SUBLANES * bsub
+  tile = tile_b // SUBLANES
+  assert x_packed.shape == (DIM_X, SUBLANES, bsub), x_packed.shape
+  assert P_packed.shape == (DIM_E, DIM_E, SUBLANES, bsub), P_packed.shape
+  assert zs_packed.shape == (T, 3, SUBLANES, bsub), zs_packed.shape
+  assert kind_idx.shape == (T,) and T % t_chunk == 0, (kind_idx.shape, T)
+  assert B % tile_b == 0 and tile_b % SUBLANES == 0, (B, tile_b)
+  n_b, n_t = B // tile_b, T // t_chunk
+
+  kernel = functools.partial(
+      _mixed_kernel, t_chunk=t_chunk, q_diag=q_diag, kinds=kinds,
+      r_mats=r_mats, gate=gate)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n_b, n_t),
+      in_specs=[
+          pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((DIM_X, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((DIM_E, DIM_E, SUBLANES, tile),
+                       lambda i, j: (0, 0, 0, i), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t_chunk, 3, SUBLANES, tile),
+                       lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          pl.BlockSpec((DIM_X, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((DIM_E, DIM_E, SUBLANES, tile),
+                       lambda i, j: (0, 0, 0, i), memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((DIM_X, SUBLANES, bsub), x_packed.dtype),
+          jax.ShapeDtypeStruct((DIM_E, DIM_E, SUBLANES, bsub),
+                               P_packed.dtype),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(dts.reshape(T, 1), kind_idx.reshape(T, 1).astype(jnp.int32),
+    x_packed, P_packed, zs_packed)

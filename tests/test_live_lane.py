@@ -147,3 +147,110 @@ def test_scan_matches_generic_lane_bank():
                              rtol=1e-9, atol=1e-10)
   np.testing.assert_allclose(np.asarray(P_fast), np.asarray(P_gen),
                              rtol=1e-7, atol=1e-8)
+
+
+ALL_LANE_KINDS = sorted(live_lane.LANE_KINDS)
+
+
+@pytest.mark.parametrize("kind", ALL_LANE_KINDS)
+def test_closed_form_H_all_kinds(kind):
+  """Every kind's closed-form sparse H blocks must reproduce the autodiff
+  H_raw @ H_mod exactly (machine epsilon) at arbitrary states."""
+  spec = build_live_spec()
+  rng = np.random.RandomState(10 + kind)
+  x, _ = _random_states(rng, 6)
+  dz, builder = live_lane.LANE_KINDS[kind]
+  ea = jnp.zeros((1,))
+  for i in range(6):
+    xj = jnp.asarray(x[i])
+    H_ref = np.asarray(spec.H(kind, {}, xj, ea)) @ \
+        np.asarray(spec.H_mod_at({}, xj))
+    h_slab, blocks = builder(jnp.asarray(x[i][:, None]))
+    H = np.zeros((dz, 22))
+    for c, w, Hb in blocks:
+      H[:, c:c + w] = np.eye(dz, w) if Hb is None else np.asarray(Hb[..., 0])
+    scale = max(np.abs(H_ref).max(), 1e-30)
+    np.testing.assert_allclose(H / scale, H_ref / scale, rtol=0, atol=1e-13)
+    h_ref = np.asarray(spec.obs[kind].h({}, xj, ea))
+    np.testing.assert_allclose(np.asarray(h_slab[..., 0]), h_ref,
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("kind", ALL_LANE_KINDS)
+def test_update_parity_all_kinds(kind):
+  """live_update_slab == core/step.update for every kind, random states."""
+  spec = build_live_spec()
+  rng = np.random.RandomState(20 + kind)
+  B = 8
+  x, P = _random_states(rng, B)
+  dz = live_lane.LANE_KINDS[kind][0]
+  ea = jnp.zeros((1,))
+  # measurements near the prediction so gains stay moderate
+  z = np.stack([
+      np.asarray(spec.obs[kind].h({}, jnp.asarray(x[i]), ea)) +
+      0.01 * rng.randn(dz) for i in range(B)])
+  R = np.diag(1.0 + rng.rand(dz))
+
+  xs, Ps, ys = live_lane.live_update_slab(
+      kind, jnp.asarray(x.T), jnp.asarray(P.transpose(1, 2, 0)),
+      jnp.asarray(z.T), jnp.asarray(R))
+  for i in range(B):
+    xo, Po, yo = step_ops.update(
+        spec, kind, {}, jnp.asarray(x[i]), jnp.asarray(P[i]),
+        jnp.asarray(z[i]), jnp.asarray(R), ea)
+    np.testing.assert_allclose(np.asarray(xs[:, i]), np.asarray(xo),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Ps[:, :, i]), np.asarray(Po),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ys[:, i]), np.asarray(yo),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_mixed_scan_matches_sequential_oracle():
+  """Heterogeneous gyro/accel/rot/pos stream through live_mixed_scan == the
+  same stream stepped sequentially through the core/step oracle."""
+  from rednose_tpu.models.live import ObservationKind as K
+
+  spec = build_live_spec()
+  rng = np.random.RandomState(5)
+  B, T = 3, 16
+  kinds = (K.PHONE_GYRO, K.PHONE_ACCEL, K.CAMERA_ODO_ROTATION, K.ECEF_POS)
+  R_by_kind = {
+      K.PHONE_GYRO: np.diag([0.025**2] * 3),
+      K.PHONE_ACCEL: np.diag([0.5**2] * 3),
+      K.CAMERA_ODO_ROTATION: np.diag([0.05**2] * 3),
+      K.ECEF_POS: np.diag([25.0] * 3),
+  }
+  x, P = _random_states(rng, B)
+  Q = jnp.asarray(LiveKalman.Q)
+  dts = 0.009 + 0.002 * rng.rand(T)
+  kind_idx = np.arange(T, dtype=np.int32) % len(kinds)
+  ea = jnp.zeros((1, 1))
+
+  # synthesize measurements near each filter's own h (keeps gains sane)
+  zs = np.zeros((T, B, 3))
+  x_orc = [jnp.asarray(x[i]) for i in range(B)]
+  P_orc = [jnp.asarray(P[i]) for i in range(B)]
+  for t in range(T):
+    kind = kinds[kind_idx[t]]
+    dz = spec.obs[kind].dz
+    for i in range(B):
+      xp, _ = step_ops.predict(spec, {}, x_orc[i], P_orc[i], Q,
+                               jnp.asarray(dts[t]))
+      zs[t, i, :dz] = np.asarray(
+          spec.obs[kind].h({}, xp, jnp.zeros((1,)))) + 0.01 * rng.randn(dz)
+    for i in range(B):
+      _, _, x_orc[i], P_orc[i], _ = step_ops.predict_and_update_batch(
+          spec, kind, {}, x_orc[i], P_orc[i], Q, jnp.asarray(dts[t]),
+          jnp.asarray(zs[t, i, :dz][None]),
+          jnp.asarray(R_by_kind[kind])[None], ea)
+
+  R_list = tuple(jnp.asarray(R_by_kind[k]) for k in kinds)
+  xs, Ps = live_lane.jit_live_mixed_scan(kinds)(
+      jnp.asarray(x), jnp.asarray(P.transpose(1, 2, 0)), Q,
+      jnp.asarray(dts), jnp.asarray(kind_idx), jnp.asarray(zs), R_list)
+  for i in range(B):
+    np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x_orc[i]),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Ps[:, :, i]), np.asarray(P_orc[i]),
+                               rtol=1e-6, atol=1e-8)

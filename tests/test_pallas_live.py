@@ -56,3 +56,46 @@ def test_kernel_matches_lane_scan(gate):
                              rtol=1e-6, atol=1e-5)
   np.testing.assert_allclose(np.asarray(Pu), np.asarray(P_ref),
                              rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_kernel_matches_mixed_scan():
+  """Heterogeneous-kind kernel (interpret mode) vs the jnp mixed scan."""
+  from rednose_tpu.models.live import ObservationKind as K
+
+  kinds = (K.PHONE_GYRO, K.PHONE_ACCEL, K.CAMERA_ODO_ROTATION, K.ECEF_POS)
+  R_by_kind = {
+      K.PHONE_GYRO: np.diag([0.025**2] * 3).astype(np.float32),
+      K.PHONE_ACCEL: np.diag([0.5**2] * 3).astype(np.float32),
+      K.CAMERA_ODO_ROTATION: np.diag([0.05**2] * 3).astype(np.float32),
+      K.ECEF_POS: np.diag([25.0] * 3).astype(np.float32),
+  }
+  B, T = 16, 8
+  x, P, dts, zs, _ = _workload(B, T, np.float32)
+  kind_idx = (np.arange(T) % len(kinds)).astype(np.int32)
+  # keep gyro/accel/rot measurements small-scale, positions near the prior
+  for t in range(T):
+    if kinds[kind_idx[t]] == K.ECEF_POS:
+      zs[t] = LiveKalman.initial_x[0:3] + np.random.RandomState(t).randn(B, 3)
+    else:
+      zs[t] = 0.05 * np.random.RandomState(t).randn(B, 3)
+
+  R_list = tuple(jnp.asarray(R_by_kind[k]) for k in kinds)
+  x_ref, P_ref = live_lane.jit_live_mixed_scan(kinds)(
+      jnp.asarray(x), jnp.asarray(P), jnp.asarray(LiveKalman.Q, jnp.float32),
+      jnp.asarray(dts), jnp.asarray(kind_idx), jnp.asarray(zs), R_list)
+
+  xp, Pp = pallas_live.pack_live_state(jnp.asarray(x), jnp.asarray(P))
+  zsp = pallas_live.pack_measurements(jnp.asarray(zs))
+  q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R_by_kind[k])
+                 for k in kinds)
+  xo, Po = pallas_live.live_bank_scan_mixed(
+      xp, Pp, zsp, jnp.asarray(dts), jnp.asarray(kind_idx),
+      q_diag=q_diag, kinds=kinds, r_mats=r_mats,
+      t_chunk=4, tile_b=16, interpret=True)
+  xu, Pu = pallas_live.unpack_live_state(xo, Po)
+
+  np.testing.assert_allclose(np.asarray(xu), np.asarray(x_ref),
+                             rtol=1e-6, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(Pu), np.asarray(P_ref),
+                             rtol=1e-5, atol=1e-5)
