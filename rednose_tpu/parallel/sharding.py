@@ -109,3 +109,39 @@ def jit_sharded_step(spec: FilterSpec, kind: int, mesh: Mesh):
                     NamedSharding(mesh, P(BANK_AXIS)),
                     NamedSharding(mesh, P(BANK_AXIS))),
       out_shardings=(sh, NamedSharding(mesh, P(BANK_AXIS))))
+
+
+def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
+                           *, q_diag, r_mat, gate: bool = False,
+                           t_chunk: int = 128, tile_b: int = 1024,
+                           interpret: bool = False):
+  """Fused live Pallas kernel (ops/pallas_live.py) sharded over the mesh:
+  shard_map splits the packed bank on its folded sub-bank axis, every chip
+  runs the identical VMEM-resident kernel on its shard, zero collectives —
+  the scale-out story for the flagship fused path.
+
+  Shapes are the packed layout (pallas_live.pack_live_state /
+  pack_measurements); the sub-bank dim (last axis, B/8) must divide by the
+  mesh size, and the PER-SHARD bank must still satisfy the kernel's tile_b
+  divisibility (pass tile_b <= B/n_devices).
+  """
+  from rednose_tpu.ops import pallas_live
+
+  n = mesh.devices.size
+  bsub = x_packed.shape[-1]
+  assert bsub % n == 0, (bsub, n)
+
+  def local(xp, Pp, zsp, dts_):
+    return pallas_live.live_bank_scan(
+        xp, Pp, zsp, dts_, q_diag=q_diag, r_mat=r_mat, gate=gate,
+        t_chunk=t_chunk, tile_b=tile_b, interpret=interpret)
+
+  # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+  # annotation, which jax's vma checker would otherwise require
+  return jax.shard_map(
+      local, mesh=mesh,
+      in_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
+                P(None, None, None, BANK_AXIS), P()),
+      out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
+      check_vma=False,
+  )(x_packed, P_packed, zs_packed, dts)

@@ -90,3 +90,43 @@ def test_lane_bank_sharded(mesh):
   np.testing.assert_allclose(np.asarray(sh_x), np.asarray(ref_x), rtol=1e-12)
   np.testing.assert_allclose(np.asarray(sh_P), np.asarray(ref_P), rtol=1e-12)
   assert len(sh_x.sharding.device_set) == 8
+
+
+def test_sharded_fused_live_kernel_matches_unsharded():
+  """The fused live Pallas kernel under shard_map (bank axis split over the
+  8-device mesh, interpret mode on CPU) must equal the unsharded jnp scan
+  bitwise — zero collectives, embarrassingly parallel."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from rednose_tpu.models.live import LiveKalman
+  from rednose_tpu.ops import live_lane, pallas_live
+  from rednose_tpu.parallel import sharding as shard_ops
+
+  mesh = shard_ops.make_bank_mesh()
+  B, T = 64, 8
+  dtype = jnp.float32
+  x = jnp.tile(jnp.asarray(LiveKalman.initial_x, dtype), (B, 1))
+  P = jnp.tile(jnp.asarray(np.diag(LiveKalman.initial_P_diag),
+                           dtype)[:, :, None], (1, 1, B))
+  dts = jnp.full((T,), 0.01, dtype)
+  zs = jnp.asarray(LiveKalman.initial_x[0:3], dtype) + \
+      jax.random.normal(jax.random.key(0), (T, B, 3), dtype)
+  q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
+  R = np.diag([25.0] * 3)
+  r_mat = tuple(tuple(float(v) for v in row) for row in R)
+
+  xp, Pp = pallas_live.pack_live_state(x, P)
+  zsp = pallas_live.pack_measurements(zs)
+  xo, Po = shard_ops.sharded_live_bank_scan(
+      mesh, xp, Pp, zsp, dts, q_diag=q_diag, r_mat=r_mat,
+      t_chunk=4, tile_b=8, interpret=True)
+  assert len(xo.sharding.device_set) == mesh.devices.size
+
+  x_ref, P_ref = live_lane.live_lane_scan(
+      x, P, jnp.asarray(LiveKalman.Q, dtype), dts, zs,
+      jnp.asarray(R, dtype))
+  xu, Pu = pallas_live.unpack_live_state(xo, Po)
+  np.testing.assert_array_equal(np.asarray(xu), np.asarray(x_ref))
+  np.testing.assert_array_equal(np.asarray(Pu), np.asarray(P_ref))
