@@ -254,3 +254,47 @@ def test_mixed_scan_matches_sequential_oracle():
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(Ps[:, :, i]), np.asarray(P_orc[i]),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_f32_long_stream_stays_conditioned():
+  """Production numerics: 2048 sequential float32 steps through the
+  specialized live path must keep the covariance exactly symmetric with
+  positive variances (the conditioning invariants CLAUDE.md mandates — f32
+  covariances drift asymmetric and then indefinite without per-op
+  symmetrization) and keep tracking the measurement stream.
+
+  NOTE pathwise f32-vs-f64 agreement is NOT asserted at this horizon: with
+  attitude/acceleration unobserved, the filter is chaotic enough that
+  rounding-scale perturbations decorrelate the sample paths within a few
+  hundred steps (measured ~5 sigma by T=1024 even with near-origin
+  positions); the f64 run is just another sample path. Pathwise parity is
+  covered at update granularity by the oracle tests above."""
+  rng = np.random.RandomState(9)
+  B, T = 8, 2048
+  x0 = np.tile(LiveKalman.initial_x, (B, 1))
+  P0 = np.tile(np.diag(LiveKalman.initial_P_diag), (B, 1, 1)).transpose(1, 2, 0)
+  dts = np.full((T,), 0.01)
+  zs = LiveKalman.initial_x[0:3] + 5.0 * rng.randn(T, B, 3)
+  R = np.diag([25.0] * 3)
+
+  x32, P32 = live_lane.jit_live_lane_scan()(
+      jnp.asarray(x0, jnp.float32), jnp.asarray(P0, jnp.float32),
+      jnp.asarray(LiveKalman.Q, jnp.float32), jnp.asarray(dts, jnp.float32),
+      jnp.asarray(zs, jnp.float32), jnp.asarray(R, jnp.float32))
+  x32, P32 = np.asarray(x32), np.asarray(P32)
+
+  assert np.all(np.isfinite(x32)) and np.all(np.isfinite(P32))
+  # exact symmetry (enforced by _sym every op) and positive variances
+  np.testing.assert_array_equal(P32, P32.transpose(1, 0, 2))
+  diag = P32[np.arange(22), np.arange(22)]
+  assert np.all(diag > 0)
+  # position variance converged far below its 1e8 prior
+  assert np.all(diag[0:3] < 10.0)
+  # still tracking: posterior position within a few sigma of the measured
+  # mean (a statistical invariant every correct sample path satisfies)
+  sigma = np.sqrt(diag[0:3]).T
+  err = np.abs(x32[:, 0:3] - LiveKalman.initial_x[0:3])
+  assert np.all(err < 8.0 * sigma + 1.0), (err / sigma).max()
+  # quaternions stay unit
+  np.testing.assert_allclose(np.linalg.norm(x32[:, 3:7], axis=1), 1.0,
+                             rtol=0, atol=1e-6)
