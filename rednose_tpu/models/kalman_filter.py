@@ -55,9 +55,7 @@ class KalmanFilter:
 
   def get_R(self, kind, n):
     """Tile the per-kind noise matrix to a batch (kalmanfilter.py:37-43)."""
-    obs_noise = self.obs_noise[kind]
-    dim = obs_noise.shape[0]
-    return np.tile(obs_noise[None, :, :], (n, 1, 1)).reshape(n, dim, dim)
+    return np.tile(self.obs_noise[kind][None, :, :], (n, 1, 1))
 
   def predict_and_observe(self, t, kind, data, R=None):
     data = np.atleast_2d(data) if len(data) else data

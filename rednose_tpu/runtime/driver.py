@@ -213,10 +213,10 @@ class FilterEngine:
     self.checkpoint((t, kind, z_real, R_real, extra_args))
     # Estimate fields stay as device arrays: no host sync on the hot path
     # (device->host transfers are the dominant cost when the device is a
-    # remote TPU). Callers index/np.asarray lazily. Pad-row innovations are
-    # sliced off.
+    # remote TPU). Callers index/np.asarray lazily. y is the stacked
+    # (n, dz') innovation array with pad rows sliced off.
     return Estimate((x_pred, x_post, P_pred, P_post,
-                     t, kind, list(y)[:n], z_real, extra_args))
+                     t, kind, y[:n], z_real, extra_args))
 
   def augment(self):
     """MSCKF pose-window augmentation (reference: ekf_sym.py:365-391)."""
