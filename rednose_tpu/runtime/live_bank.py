@@ -1,0 +1,155 @@
+"""Production facade for wide live-ESKF banks.
+
+The fast live paths (ops/live_lane.py jnp scan, ops/pallas_live.py fused
+kernels) are functional building blocks; this facade gives them the same
+ergonomics the single-filter engine has: it owns a B-wide bank, keeps time,
+picks the fastest path for the current backend (fused Pallas kernel on TPU,
+lane-major jnp scan elsewhere), and round-trips through
+runtime/checkpoint.save_bank.
+
+    bank = LiveKalmanBank(batch=8192)
+    bank.run(dts, zs)                        # ECEF_POS stream
+    bank.run_mixed(dts, kind_idx, zs, kinds) # heterogeneous schedule
+    bank.x, bank.P                           # (B, 23), (B, 22, 22)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.models.live import LiveKalman, ObservationKind
+from rednose_tpu.ops import live_lane, pallas_live
+from rednose_tpu.runtime.bank import BankState
+from rednose_tpu.runtime.checkpoint import load_bank, save_bank
+
+
+def _largest_divisor(n: int, candidates) -> int:
+  for c in candidates:
+    if n % c == 0:
+      return c
+  return 1
+
+
+class LiveKalmanBank:
+  """B independent live 23/22 ESKFs stepped as one compiled program."""
+
+  def __init__(self, batch: int, x0=None, P_diag=None, Q=None,
+               dtype=jnp.float32, use_pallas: bool | None = None,
+               t0: float = 0.0):
+    self.batch = batch
+    self.dtype = dtype
+    x0 = LiveKalman.initial_x if x0 is None else np.asarray(x0)
+    P_diag = (LiveKalman.initial_P_diag if P_diag is None
+              else np.asarray(P_diag))
+    self.Q = jnp.asarray(LiveKalman.Q if Q is None else Q, dtype)
+    self._q_diag = tuple(float(v)
+                         for v in np.diag(np.asarray(self.Q, np.float64)))
+    if x0.ndim == 1:
+      self._x = jnp.tile(jnp.asarray(x0, dtype), (batch, 1))
+    else:
+      self._x = jnp.asarray(x0, dtype)
+    self._P = jnp.tile(jnp.asarray(np.diag(P_diag), dtype)[:, :, None],
+                       (1, 1, batch))
+    self.t = t0
+    # the fused kernel needs a real TPU (or interpret mode) and an 8-folded
+    # bank; everything else takes the pure-jnp lane scan
+    if use_pallas is None:
+      use_pallas = (jax.default_backend() == 'tpu'
+                    and batch % pallas_live.SUBLANES == 0)
+    self.use_pallas = use_pallas
+
+  # ------------------------------------------------------------------ state
+
+  @property
+  def x(self):
+    """(B, 23) nominal states."""
+    return self._x
+
+  @property
+  def P(self):
+    """(B, 22, 22) error-state covariances."""
+    return jnp.transpose(self._P, (2, 0, 1))
+
+  def state(self) -> BankState:
+    return BankState(x=self._x, P=self.P,
+                     t=jnp.full((self.batch,), 0.0, self.dtype),
+                     epoch=self.t)
+
+  def save(self, path):
+    save_bank(path, self.state())
+
+  def load(self, path):
+    st = load_bank(path, dtype=self.dtype)
+    assert st.x.shape == (self.batch, 23), st.x.shape
+    self._x = st.x
+    self._P = jnp.transpose(st.P, (1, 2, 0))
+    self.t = st.epoch
+    return self
+
+  # ------------------------------------------------------------------- runs
+
+  def _tiles(self, T):
+    t_chunk = _largest_divisor(T, (128, 64, 32, 16, 8, 4, 2))
+    tile_b = _largest_divisor(self.batch, (1024, 512, 256, 128, 64, 32, 16, 8))
+    return t_chunk, tile_b
+
+  def run(self, dts, zs, R=None, gate: bool = False):
+    """T fused predict + ECEF_POS-update steps: dts (T,), zs (T, B, 3),
+    R (3, 3) shared (defaults to LiveKalman.obs_noise). Advances bank time
+    by sum(dts) (host float64)."""
+    dts = np.asarray(dts, np.float64)
+    R = (LiveKalman.obs_noise[ObservationKind.ECEF_POS] if R is None
+         else np.asarray(R))
+    T = dts.shape[0]
+    if self.use_pallas:
+      t_chunk, tile_b = self._tiles(T)
+      xp, Pp = pallas_live.pack_live_state(self._x, self._P)
+      zsp = pallas_live.pack_measurements(jnp.asarray(zs, self.dtype))
+      r_mat = tuple(tuple(float(v) for v in row) for row in R)
+      xp, Pp = pallas_live.live_bank_scan(
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype), q_diag=self._q_diag,
+          r_mat=r_mat, gate=gate, t_chunk=t_chunk, tile_b=tile_b)
+      self._x, self._P = pallas_live.unpack_live_state(xp, Pp)
+    else:
+      self._x, self._P = live_lane.jit_live_lane_scan(gate=gate)(
+          self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+          jnp.asarray(zs, self.dtype), jnp.asarray(R, self.dtype))
+    self.t += float(dts.sum())
+    return self
+
+  def run_mixed(self, dts, kind_idx, zs, kinds: Sequence[int],
+                R_by_kind=None, gate: bool = False):
+    """T steps of a heterogeneous sensor schedule: kinds is the static kind
+    set, kind_idx (T,) indexes into it, zs (T, B, 3) rows padded to dz<=3.
+    Per-kind R defaults to LiveKalman.obs_noise."""
+    kinds = tuple(int(k) for k in kinds)
+    assert all(k in live_lane.LANE_KINDS for k in kinds), kinds
+    if R_by_kind is None:
+      R_by_kind = {k: LiveKalman.obs_noise[k] for k in kinds}
+    dts = np.asarray(dts, np.float64)
+    T = dts.shape[0]
+    if self.use_pallas:
+      t_chunk, tile_b = self._tiles(T)
+      xp, Pp = pallas_live.pack_live_state(self._x, self._P)
+      zsp = pallas_live.pack_measurements(jnp.asarray(zs, self.dtype))
+      r_mats = tuple(tuple(tuple(float(v) for v in row)
+                           for row in np.asarray(R_by_kind[k]))
+                     for k in kinds)
+      xp, Pp = pallas_live.live_bank_scan_mixed(
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype),
+          jnp.asarray(kind_idx, jnp.int32), q_diag=self._q_diag,
+          kinds=kinds, r_mats=r_mats, gate=gate, t_chunk=t_chunk,
+          tile_b=tile_b)
+      self._x, self._P = pallas_live.unpack_live_state(xp, Pp)
+    else:
+      R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
+      self._x, self._P = live_lane.jit_live_mixed_scan(kinds, gate=gate)(
+          self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+          jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
+          R_list)
+    self.t += float(dts.sum())
+    return self

@@ -1,0 +1,84 @@
+"""LiveKalmanBank facade: path selection, parity with the ops-level scans,
+time bookkeeping, checkpoint round trip."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.models.live import LiveKalman, ObservationKind as K
+from rednose_tpu.ops import live_lane
+from rednose_tpu.runtime.live_bank import LiveKalmanBank
+
+
+def _stream(B, T, seed=0):
+  rng = np.random.RandomState(seed)
+  dts = np.full((T,), 0.01)
+  zs = LiveKalman.initial_x[0:3] + 5.0 * rng.randn(T, B, 3)
+  return dts, zs
+
+
+def test_run_matches_lane_scan_and_tracks_time():
+  B, T = 16, 12
+  dts, zs = _stream(B, T)
+  bank = LiveKalmanBank(batch=B, t0=100.0)
+  assert not bank.use_pallas  # CPU backend -> jnp lane path
+  bank.run(dts, zs)
+
+  x_ref, P_ref = live_lane.jit_live_lane_scan()(
+      jnp.tile(jnp.asarray(LiveKalman.initial_x, jnp.float32), (B, 1)),
+      jnp.tile(jnp.asarray(np.diag(LiveKalman.initial_P_diag),
+                           jnp.float32)[:, :, None], (1, 1, B)),
+      jnp.asarray(LiveKalman.Q, jnp.float32),
+      jnp.asarray(dts, jnp.float32), jnp.asarray(zs, jnp.float32),
+      jnp.asarray(LiveKalman.obs_noise[K.ECEF_POS], jnp.float32))
+  np.testing.assert_array_equal(np.asarray(bank.x), np.asarray(x_ref))
+  np.testing.assert_array_equal(np.asarray(bank.P),
+                                np.asarray(P_ref).transpose(2, 0, 1))
+  assert abs(bank.t - 100.12) < 1e-9
+
+
+def test_pallas_interpret_path_matches_jnp_path():
+  """Force the Pallas path (interpret-capable shapes) and compare."""
+  B, T = 16, 8
+  dts, zs = _stream(B, T, seed=1)
+  jnp_bank = LiveKalmanBank(batch=B, use_pallas=False)
+  jnp_bank.run(dts, zs)
+  # the pallas path on CPU only works in interpret mode, which
+  # live_bank_scan exposes; patch the facade call through it
+  import functools
+
+  from rednose_tpu.ops import pallas_live
+
+  pl_bank = LiveKalmanBank(batch=B, use_pallas=True)
+  orig = pallas_live.live_bank_scan
+  try:
+    pallas_live.live_bank_scan = functools.partial(orig, interpret=True)
+    pl_bank.run(dts, zs)
+  finally:
+    pallas_live.live_bank_scan = orig
+  np.testing.assert_array_equal(np.asarray(pl_bank.x), np.asarray(jnp_bank.x))
+  np.testing.assert_array_equal(np.asarray(pl_bank.P), np.asarray(jnp_bank.P))
+
+
+def test_run_mixed_and_checkpoint_roundtrip(tmp_path):
+  B, T = 8, 8
+  rng = np.random.RandomState(2)
+  kinds = (K.PHONE_GYRO, K.ECEF_POS)
+  dts = np.full((T,), 0.01)
+  kind_idx = np.arange(T) % 2
+  zs = np.where((kind_idx == 1)[:, None, None],
+                LiveKalman.initial_x[0:3] + rng.randn(T, B, 3),
+                0.02 * rng.randn(T, B, 3))
+  bank = LiveKalmanBank(batch=B)
+  bank.run_mixed(dts, kind_idx, zs, kinds)
+  assert np.all(np.isfinite(np.asarray(bank.x)))
+
+  path = tmp_path / "bank.npz"
+  bank.save(path)
+  bank2 = LiveKalmanBank(batch=B).load(path)
+  np.testing.assert_array_equal(np.asarray(bank2.x), np.asarray(bank.x))
+  np.testing.assert_array_equal(np.asarray(bank2.P), np.asarray(bank.P))
+  assert bank2.t == bank.t
+
+  # and the restored bank keeps running
+  bank2.run(dts, LiveKalman.initial_x[0:3] + rng.randn(T, B, 3))
+  assert np.all(np.isfinite(np.asarray(bank2.x)))
