@@ -42,7 +42,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from rednose_tpu.models.live import DIM_STATE, DIM_STATE_ERR, _omega_matrix
+from rednose_tpu.models.live import (
+    DIM_STATE,
+    DIM_STATE_ERR,
+    EARTH_GM,
+    _omega_matrix,
+)
 from rednose_tpu.ops.quaternion import quat_to_rot, skew
 from rednose_tpu.utils.chi2 import chi2_ppf
 
@@ -209,8 +214,6 @@ def jit_live_lane_scan(gate: bool = False):
 _POS, _ATT, _VEL, _OMEGA = 0, 3, 6, 9
 _BIAS, _SCALE, _ACC, _OFF = 12, 15, 16, 19
 
-EARTH_GM = 3.986005e14
-
 
 def _cross(a, b):
   """(3, *b) x (3, *b) elementwise cross product."""
@@ -253,13 +256,6 @@ def _d_euler_rot(e, Re, u_prime):
   return jnp.stack([col_r, col_p, col_y], axis=1)
 
 
-def _skew_slab(v):
-  zero = jnp.zeros_like(v[0])
-  return jnp.stack([jnp.stack([zero, -v[2], v[1]]),
-                    jnp.stack([v[2], zero, -v[0]]),
-                    jnp.stack([-v[1], v[0], zero])])
-
-
 # Each builder: x (23, *b) -> (h (dz, *b), blocks); blocks is a tuple of
 # (col, width, Hb) with Hb (dz, width, *b) or None for an identity block.
 
@@ -279,7 +275,11 @@ def _hH_odo_speed(x):
   v, s = x[7:10], x[16]
   speed = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
   h = (speed * s)[None]
-  Hv = (s / speed) * v  # s * v^T / |v|
+  # |v| -> 0 makes the velocity direction (and the jacfwd oracle) undefined
+  # (0/0 -> NaN, which would permanently poison a whole bank); clamp the
+  # denominator so a standstill update degrades to information-free on the
+  # velocity rows instead. Deviation from the oracle only within |v| < 1e-6.
+  Hv = (s / jnp.maximum(speed, 1e-6)) * v  # s * v^T / |v|
   return h, ((_VEL, 3, Hv[None]), (_SCALE, 1, speed[None, None]))
 
 
@@ -287,7 +287,7 @@ def _hH_cam_trans(x):
   q, v = x[3:7], x[7:10]
   RqT = _transpose33(quat_to_rot(q))
   h = _mv(RqT, v, 3)
-  return h, ((_ATT, 3, _mm_l(RqT, _skew_slab(v), 3)), (_VEL, 3, RqT))
+  return h, ((_ATT, 3, _mm_l(RqT, skew(v), 3)), (_VEL, 3, RqT))
 
 
 def _hH_gyro(x):
@@ -311,13 +311,12 @@ def _hH_accel(x):
   # d u / d p = scale * (I - 3 p p^T / r^2)
   php = jnp.stack([jnp.stack([p[i] * p[j] for j in range(3)])
                    for i in range(3)]) * (3.0 / r2)
-  eye3 = jnp.zeros_like(php)
   eye3 = jnp.stack([
       jnp.stack([jnp.ones_like(r2) if i == j else jnp.zeros_like(r2)
                  for j in range(3)]) for i in range(3)])
   Hp = scale * _mm_l(ReRqT, eye3 - php, 3)
   return h, ((_POS, 3, Hp),
-             (_ATT, 3, _mm_l(ReRqT, _skew_slab(u), 3)),
+             (_ATT, 3, _mm_l(ReRqT, skew(u), 3)),
              (_ACC, 3, Re),
              (_OFF, 3, _d_euler_rot(o, Re, h)))
 

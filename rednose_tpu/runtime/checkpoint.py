@@ -25,7 +25,10 @@ def save_filter(path, engine):
   extra = {}
   if (isinstance(engine.params, dict)
       and all(isinstance(k, str) for k in engine.params)
-      and len(leaves) == len(engine.params)):  # flat: one leaf per key
+      and jax.tree_util.all_leaves(list(engine.params.values()))):
+    # genuinely flat: every value is a leaf (a length check alone would
+    # false-positive on single-leaf containers like {'g': (arr,)} and
+    # silently strip the wrapper on load)
     # jax flattens dicts in sorted-key order; record that same order
     extra["param_keys"] = np.asarray(sorted(engine.params), dtype=np.str_)
   np.savez(

@@ -55,11 +55,21 @@ class LiveKalmanBank:
     self._P = jnp.tile(jnp.asarray(np.diag(P_diag), dtype)[:, :, None],
                        (1, 1, batch))
     self.t = t0
+    # the fused kernel carries Q as static DIAGONAL scalars (2D-array
+    # broadcasts don't lower in Pallas, see ops/live_lane.py) — off-diagonal
+    # process noise must take the jnp path
+    q_is_diag = bool(np.all(np.asarray(self.Q) ==
+                            np.diag(np.diag(np.asarray(self.Q)))))
     # the fused kernel needs a real TPU (or interpret mode) and an 8-folded
     # bank; everything else takes the pure-jnp lane scan
     if use_pallas is None:
       use_pallas = (jax.default_backend() == 'tpu'
-                    and batch % pallas_live.SUBLANES == 0)
+                    and batch % pallas_live.SUBLANES == 0 and q_is_diag)
+    elif use_pallas and not q_is_diag:
+      raise ValueError(
+          "the fused Pallas path supports diagonal Q only (it is carried as "
+          "static diagonal scalars); pass use_pallas=False for off-diagonal "
+          "process noise")
     self.use_pallas = use_pallas
 
   # ------------------------------------------------------------------ state
@@ -105,6 +115,8 @@ class LiveKalmanBank:
     R = (LiveKalman.obs_noise[ObservationKind.ECEF_POS] if R is None
          else np.asarray(R))
     T = dts.shape[0]
+    if T == 0:  # no measurements this tick: clean no-op on every path
+      return self
     if self.use_pallas:
       t_chunk, tile_b = self._tiles(T)
       xp, Pp = pallas_live.pack_live_state(self._x, self._P)
@@ -129,9 +141,17 @@ class LiveKalmanBank:
     kinds = tuple(int(k) for k in kinds)
     assert all(k in live_lane.LANE_KINDS for k in kinds), kinds
     if R_by_kind is None:
+      missing = [k for k in kinds if k not in LiveKalman.obs_noise]
+      if missing:
+        raise ValueError(
+            f"kinds {missing} carry per-measurement noise in the reference "
+            "(no obs_noise default, live_kf.py:325-337); pass R_by_kind "
+            "explicitly")
       R_by_kind = {k: LiveKalman.obs_noise[k] for k in kinds}
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
+    if T == 0:
+      return self
     if self.use_pallas:
       t_chunk, tile_b = self._tiles(T)
       xp, Pp = pallas_live.pack_live_state(self._x, self._P)

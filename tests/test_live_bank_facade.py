@@ -82,3 +82,55 @@ def test_run_mixed_and_checkpoint_roundtrip(tmp_path):
   # and the restored bank keeps running
   bank2.run(dts, LiveKalman.initial_x[0:3] + rng.randn(T, B, 3))
   assert np.all(np.isfinite(np.asarray(bank2.x)))
+
+
+def test_review_findings_regressions(tmp_path):
+  """Code-review regressions: off-diagonal Q path safety, missing per-kind R,
+  empty stream no-op, standstill odometer update, checkpoint single-leaf
+  container params."""
+  import pytest
+
+  B = 8
+  # off-diagonal Q: auto path selection must avoid the (diagonal-only)
+  # Pallas kernel, and forcing it must refuse loudly
+  Q_od = np.asarray(LiveKalman.Q).copy()
+  Q_od[0, 6] = Q_od[6, 0] = 1e-3
+  bank = LiveKalmanBank(batch=B, Q=Q_od)
+  assert not bank.use_pallas
+  with pytest.raises(ValueError, match="diagonal Q"):
+    LiveKalmanBank(batch=B, Q=Q_od, use_pallas=True)
+
+  # camera-odo kinds have no obs_noise default: explicit error, not KeyError
+  bank = LiveKalmanBank(batch=B)
+  with pytest.raises(ValueError, match="per-measurement noise"):
+    bank.run_mixed(np.full(2, 0.01), np.zeros(2, np.int32),
+                   np.zeros((2, B, 3)),
+                   (K.CAMERA_ODO_TRANSLATION, K.ECEF_POS))
+
+  # empty stream: exact no-op (both paths share the early return)
+  x_before = np.asarray(bank.x)
+  bank.run(np.zeros((0,)), np.zeros((0, B, 3)))
+  bank.run_mixed(np.zeros((0,)), np.zeros((0,), np.int32),
+                 np.zeros((0, B, 3)), (K.ECEF_POS,))
+  np.testing.assert_array_equal(np.asarray(bank.x), x_before)
+  assert bank.t == 0.0
+
+  # ODOMETRIC_SPEED at standstill (v = 0 in the default initial state) must
+  # not NaN the bank: the |v| clamp degrades it to information-free
+  bank = LiveKalmanBank(batch=B)
+  bank.run_mixed(np.full(2, 0.01), np.zeros(2, np.int32),
+                 np.zeros((2, B, 3)), (K.ODOMETRIC_SPEED,))
+  assert np.all(np.isfinite(np.asarray(bank.x)))
+  assert np.all(np.isfinite(np.asarray(bank.P)))
+
+  # checkpoint: dict params whose value is a single-leaf CONTAINER must not
+  # round-trip as a bare leaf (structure silently stripped)
+  from rednose_tpu.models.kinematic import KinematicKalman
+  from rednose_tpu.runtime.checkpoint import load_filter, save_filter
+
+  kf = KinematicKalman(params={"gain": (np.asarray(2.0),)})
+  path = tmp_path / "f.npz"
+  save_filter(path, kf.filter)
+  kf2 = KinematicKalman(params={"gain": (np.asarray(0.0),)})
+  with pytest.raises(ValueError, match="treedef"):
+    load_filter(path, kf2.filter)  # no self-describing keys, no treedef
