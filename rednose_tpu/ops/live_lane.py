@@ -46,6 +46,7 @@ from rednose_tpu.models.live import (
     DIM_STATE,
     DIM_STATE_ERR,
     EARTH_GM,
+    ObservationKind as _K,
     _omega_matrix,
 )
 from rednose_tpu.ops.quaternion import quat_to_rot, skew
@@ -323,14 +324,14 @@ def _hH_accel(x):
 
 # kind -> (dz, builder); NO_ROT and CAMERA_ODO_ROTATION share h = omega
 LANE_KINDS = {
-    12: (3, _hH_ecef_pos),        # ObservationKind.ECEF_POS
-    9: (3, _hH_no_rot),           # NO_ROT
-    14: (3, _hH_no_rot),          # CAMERA_ODO_ROTATION
-    19: (3, _hH_imu_frame),       # IMU_FRAME
-    3: (1, _hH_odo_speed),        # ODOMETRIC_SPEED
-    13: (3, _hH_cam_trans),       # CAMERA_ODO_TRANSLATION
-    4: (3, _hH_gyro),             # PHONE_GYRO
-    10: (3, _hH_accel),           # PHONE_ACCEL
+    _K.ECEF_POS: (3, _hH_ecef_pos),
+    _K.NO_ROT: (3, _hH_no_rot),
+    _K.CAMERA_ODO_ROTATION: (3, _hH_no_rot),
+    _K.IMU_FRAME: (3, _hH_imu_frame),
+    _K.ODOMETRIC_SPEED: (1, _hH_odo_speed),
+    _K.CAMERA_ODO_TRANSLATION: (3, _hH_cam_trans),
+    _K.PHONE_GYRO: (3, _hH_gyro),
+    _K.PHONE_ACCEL: (3, _hH_accel),
 }
 
 
