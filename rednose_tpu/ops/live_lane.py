@@ -399,8 +399,20 @@ def live_update_slab(kind: int, x, P, z, R, gate: bool = False,
   return _inject(x, dx), P_new, y
 
 
+def _stream_r_tuple(r_row, dz: int):
+  """Per-step streamed DIAGONAL noise as a nested tuple of traced scalars.
+
+  live_update_slab's tuple-R path does only scalar arithmetic with the
+  entries, so traced scalars work exactly like static ones — and unlike a
+  jnp.diag-built (dz, dz) array this never needs the tiled-dim relayout
+  that Pallas cannot lower (see live_predict_slab)."""
+  return tuple(tuple(r_row[i] if i == j else 0.0 for j in range(dz))
+               for i in range(dz))
+
+
 def live_mixed_scan(x, P, Q, dts, kind_idx, zs, R_by_kind, kinds: tuple,
-                    gate: bool = False):
+                    gate: bool = False, r_stream=None,
+                    stream_kinds: tuple = ()):
   """Scan a HETEROGENEOUS sensor stream over the lane-major live bank: one
   fused predict+update per step with `lax.switch` over the closed-form
   per-kind updates — the reference's real workload (several observation
@@ -408,28 +420,44 @@ def live_mixed_scan(x, P, Q, dts, kind_idx, zs, R_by_kind, kinds: tuple,
 
   Args: x (B, 23), P (22, 22, B), Q (22, 22), dts (T,), kind_idx (T,) int32
   indices into `kinds`, zs (T, B, 3) padded to dz<=3, R_by_kind mapping
-  kind -> (dz, dz) shared noise. Returns final (x (B, 23), P).
+  kind -> (dz, dz) shared noise. Kinds listed in `stream_kinds` instead take
+  a per-step DIAGONAL noise from r_stream (T, 3) — the camera-odometry
+  kinds' measurement-supplied variances (live_kf.py:325-337). Returns final
+  (x (B, 23), P).
   """
   xl = x.T
-  branches = tuple(
-      (lambda k: lambda xc, Pc, z: live_update_slab(
-          k, xc, Pc, z[:LANE_KINDS[k][0]], R_by_kind[k], gate=gate)[:2])(k)
-      for k in kinds)
+  if r_stream is None:
+    assert not stream_kinds
+    r_stream = jnp.zeros((dts.shape[0], 3), dtype=x.dtype)
+
+  def _branch(k):
+    dz = LANE_KINDS[k][0]
+
+    def apply(xc, Pc, z, r_row):
+      R = (_stream_r_tuple(r_row, dz) if k in stream_kinds
+           else R_by_kind[k])
+      return live_update_slab(k, xc, Pc, z[:dz], R, gate=gate)[:2]
+
+    return apply
+
+  branches = tuple(_branch(k) for k in kinds)
 
   def body(carry, inp):
     xc, Pc = carry
-    dt, ki, z = inp
+    dt, ki, z, r_row = inp
     xc, Pc = live_predict_slab(xc, Pc, Q, dt)
-    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z.T)
+    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z.T, r_row)
     return (xc, Pc), None
 
-  (xl, P), _ = jax.lax.scan(body, (xl, P), (dts, kind_idx, zs))
+  (xl, P), _ = jax.lax.scan(body, (xl, P), (dts, kind_idx, zs, r_stream))
   return xl.T, P
 
 
 @functools.lru_cache(maxsize=None)
-def jit_live_mixed_scan(kinds: tuple, gate: bool = False):
-  def fn(x, P, Q, dts, kind_idx, zs, R_list):
+def jit_live_mixed_scan(kinds: tuple, gate: bool = False,
+                        stream_kinds: tuple = ()):
+  def fn(x, P, Q, dts, kind_idx, zs, R_list, r_stream=None):
     return live_mixed_scan(x, P, Q, dts, kind_idx, zs,
-                           dict(zip(kinds, R_list)), kinds, gate=gate)
+                           dict(zip(kinds, R_list)), kinds, gate=gate,
+                           r_stream=r_stream, stream_kinds=stream_kinds)
   return jax.jit(fn)

@@ -151,10 +151,15 @@ def live_bank_scan(x_packed, P_packed, zs_packed, dts, *, q_diag, r_mat,
   )(dts.reshape(T, 1), x_packed, P_packed, zs_packed)
 
 
-def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref,
-                  p_out_ref, *, t_chunk: int, q_diag, kinds, r_mats,
-                  gate: bool):
-  from rednose_tpu.ops.live_lane import live_update_slab
+def _mixed_kernel(dts_ref, kinds_ref, rs_ref, x_in_ref, p_in_ref, zs_ref,
+                  x_out_ref, p_out_ref, *, t_chunk: int, q_diag, kinds,
+                  r_mats, stream_kinds, gate: bool):
+  from rednose_tpu.ops.live_lane import (
+      LANE_KINDS,
+      _stream_r_tuple,
+      live_predict_slab,
+      live_update_slab,
+  )
 
   j = pl.program_id(1)
 
@@ -163,20 +168,27 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref,
     x_out_ref[:] = x_in_ref[:]
     p_out_ref[:] = p_in_ref[:]
 
-  from rednose_tpu.ops.live_lane import LANE_KINDS, live_predict_slab
+  def _branch(k, r_static):
+    dz = LANE_KINDS[k][0]
 
-  branches = tuple(
-      (lambda k, r: lambda x, P, z: live_update_slab(
-          k, x, P, z[:LANE_KINDS[k][0]], r, gate=gate)[:2])(k, r)
-      for k, r in zip(kinds, r_mats))
+    def apply(x, P, z, r_row):
+      # streamed kinds take the per-step diagonal noise from SMEM as traced
+      # scalars (a jnp.diag array would need an unsupported relayout)
+      R = _stream_r_tuple(r_row, dz) if k in stream_kinds else r_static
+      return live_update_slab(k, x, P, z[:dz], R, gate=gate)[:2]
+
+    return apply
+
+  branches = tuple(_branch(k, r) for k, r in zip(kinds, r_mats))
 
   def body(t, carry):
     x, P = carry
     dt = dts_ref[t, 0]
     ki = kinds_ref[t, 0]
+    r_row = (rs_ref[t, 0], rs_ref[t, 1], rs_ref[t, 2])
     z = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])
     x, P = live_predict_slab(x, P, q_diag, dt)
-    x, P = jax.lax.switch(ki, branches, x, P, z)
+    x, P = jax.lax.switch(ki, branches, x, P, z, r_row)
     return (x, P)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
@@ -186,10 +198,11 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('q_diag', 'kinds', 'r_mats', 'gate', 't_chunk',
-                     'tile_b', 'interpret'))
-def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx, *,
-                         q_diag, kinds, r_mats, gate: bool = False,
+    static_argnames=('q_diag', 'kinds', 'r_mats', 'stream_kinds', 'gate',
+                     't_chunk', 'tile_b', 'interpret'))
+def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
+                         r_stream=None, *, q_diag, kinds, r_mats,
+                         stream_kinds: tuple = (), gate: bool = False,
                          t_chunk: int = 128, tile_b: int = 1024,
                          interpret: bool = False):
   """Heterogeneous-kind fused live bank: like live_bank_scan, but each step
@@ -203,6 +216,9 @@ def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx, *,
       live_lane.LANE_KINDS).
     r_mats: static per-kind measurement noise, tuple (aligned with kinds)
       of (dz, dz) nested scalar tuples.
+    r_stream: optional (T, 3) per-step DIAGONAL noise, used by kinds listed
+      in `stream_kinds` instead of their static r_mat — the camera-odometry
+      kinds' measurement-supplied variances (live_kf.py:325-337).
   zs_packed rows are padded to dz<=3; dz=1 kinds read row 0.
   """
   T = zs_packed.shape[0]
@@ -216,9 +232,13 @@ def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx, *,
   assert B % tile_b == 0 and tile_b % SUBLANES == 0, (B, tile_b)
   n_b, n_t = B // tile_b, T // t_chunk
 
+  if r_stream is None:
+    assert not stream_kinds
+    r_stream = jnp.zeros((T, 3), dtype=x_packed.dtype)
+  assert r_stream.shape == (T, 3), r_stream.shape
   kernel = functools.partial(
       _mixed_kernel, t_chunk=t_chunk, q_diag=q_diag, kinds=kinds,
-      r_mats=r_mats, gate=gate)
+      r_mats=r_mats, stream_kinds=stream_kinds, gate=gate)
 
   return pl.pallas_call(
       kernel,
@@ -227,6 +247,8 @@ def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx, *,
           pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
                        memory_space=pltpu.SMEM),
           pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((t_chunk, 3), lambda i, j: (j, 0),
                        memory_space=pltpu.SMEM),
           pl.BlockSpec((DIM_X, SUBLANES, tile), lambda i, j: (0, 0, i),
                        memory_space=pltpu.VMEM),
@@ -250,4 +272,4 @@ def live_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx, *,
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(dts.reshape(T, 1), kind_idx.reshape(T, 1).astype(jnp.int32),
-    x_packed, P_packed, zs_packed)
+    jnp.asarray(r_stream, x_packed.dtype), x_packed, P_packed, zs_packed)

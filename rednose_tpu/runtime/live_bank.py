@@ -134,20 +134,28 @@ class LiveKalmanBank:
     return self
 
   def run_mixed(self, dts, kind_idx, zs, kinds: Sequence[int],
-                R_by_kind=None, gate: bool = False):
+                R_by_kind=None, gate: bool = False, r_stream=None,
+                stream_kinds: Sequence[int] = ()):
     """T steps of a heterogeneous sensor schedule: kinds is the static kind
     set, kind_idx (T,) indexes into it, zs (T, B, 3) rows padded to dz<=3.
-    Per-kind R defaults to LiveKalman.obs_noise."""
+    Per-kind R defaults to LiveKalman.obs_noise; kinds in `stream_kinds`
+    instead take per-step DIAGONAL noise from r_stream (T, 3) — the
+    camera-odometry kinds' measurement-supplied variances
+    (live_kf.py:325-337)."""
     kinds = tuple(int(k) for k in kinds)
+    stream_kinds = tuple(int(k) for k in stream_kinds)
     assert all(k in live_lane.LANE_KINDS for k in kinds), kinds
+    assert (r_stream is None) == (not stream_kinds)
     if R_by_kind is None:
-      missing = [k for k in kinds if k not in LiveKalman.obs_noise]
+      missing = [k for k in kinds
+                 if k not in LiveKalman.obs_noise and k not in stream_kinds]
       if missing:
         raise ValueError(
             f"kinds {missing} carry per-measurement noise in the reference "
-            "(no obs_noise default, live_kf.py:325-337); pass R_by_kind "
-            "explicitly")
-      R_by_kind = {k: LiveKalman.obs_noise[k] for k in kinds}
+            "(no obs_noise default, live_kf.py:325-337); pass R_by_kind or "
+            "stream their variances via r_stream/stream_kinds")
+      eye = np.eye(3)  # placeholder for streamed kinds (static R unused)
+      R_by_kind = {k: LiveKalman.obs_noise.get(k, eye) for k in kinds}
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
     if T == 0:
@@ -159,17 +167,22 @@ class LiveKalmanBank:
       r_mats = tuple(tuple(tuple(float(v) for v in row)
                            for row in np.asarray(R_by_kind[k]))
                      for k in kinds)
+      rsj = (None if r_stream is None
+             else jnp.asarray(r_stream, self.dtype))
       xp, Pp = pallas_live.live_bank_scan_mixed(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype),
-          jnp.asarray(kind_idx, jnp.int32), q_diag=self._q_diag,
-          kinds=kinds, r_mats=r_mats, gate=gate, t_chunk=t_chunk,
-          tile_b=tile_b)
+          jnp.asarray(kind_idx, jnp.int32), rsj, q_diag=self._q_diag,
+          kinds=kinds, r_mats=r_mats, stream_kinds=stream_kinds, gate=gate,
+          t_chunk=t_chunk, tile_b=tile_b)
       self._x, self._P = pallas_live.unpack_live_state(xp, Pp)
     else:
       R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
-      self._x, self._P = live_lane.jit_live_mixed_scan(kinds, gate=gate)(
+      rsj = (None if r_stream is None
+             else jnp.asarray(r_stream, self.dtype))
+      self._x, self._P = live_lane.jit_live_mixed_scan(
+          kinds, gate=gate, stream_kinds=stream_kinds)(
           self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
           jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
-          R_list)
+          R_list, rsj)
     self.t += float(dts.sum())
     return self

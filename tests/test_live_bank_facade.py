@@ -134,3 +134,63 @@ def test_review_findings_regressions(tmp_path):
   kf2 = KinematicKalman(params={"gain": (np.asarray(0.0),)})
   with pytest.raises(ValueError, match="treedef"):
     load_filter(path, kf2.filter)  # no self-describing keys, no treedef
+
+
+def test_streamed_per_step_R_matches_driver_oracle():
+  """CAMERA_ODO_TRANSLATION with measurement-supplied per-step variances
+  (the reference's columns 3:6 pattern, live_kf.py:325-337) through the
+  mixed scan's r_stream — must equal sequential core/step updates with the
+  same per-step R, on both the jnp and (interpret) Pallas paths."""
+  import functools
+
+  import jax
+
+  from rednose_tpu.core import step as step_ops
+  from rednose_tpu.models.live import build_live_spec
+  from rednose_tpu.ops import pallas_live
+
+  spec = build_live_spec()
+  rng = np.random.RandomState(3)
+  B, T = 8, 8
+  kinds = (K.CAMERA_ODO_TRANSLATION, K.ECEF_POS)
+  dts = np.full((T,), 0.01)
+  kind_idx = (np.arange(T) % 2).astype(np.int32)
+  stds = 0.05 + 0.1 * rng.rand(T, 3)  # per-step camera-odo std devs
+  r_stream = stds**2
+  zs = np.where((kind_idx == 1)[:, None, None],
+                LiveKalman.initial_x[0:3] + rng.randn(T, B, 3),
+                0.1 * rng.randn(T, B, 3))
+
+  bank = LiveKalmanBank(batch=B, use_pallas=False)
+  bank.run_mixed(dts, kind_idx, zs, kinds, r_stream=r_stream,
+                 stream_kinds=(K.CAMERA_ODO_TRANSLATION,))
+
+  # sequential oracle with literal per-step R
+  Q = jnp.asarray(LiveKalman.Q, jnp.float32)
+  ea = jnp.zeros((1, 1), jnp.float32)
+  for i in range(B):
+    xo = jnp.asarray(LiveKalman.initial_x, jnp.float32)
+    Po = jnp.asarray(np.diag(LiveKalman.initial_P_diag), jnp.float32)
+    for t in range(T):
+      kind = kinds[kind_idx[t]]
+      R_t = (np.diag(r_stream[t]) if kind == K.CAMERA_ODO_TRANSLATION
+             else LiveKalman.obs_noise[kind])
+      _, _, xo, Po, _ = step_ops.predict_and_update_batch(
+          spec, kind, {}, xo, Po, Q, jnp.asarray(dts[t], jnp.float32),
+          jnp.asarray(zs[t, i][None], jnp.float32),
+          jnp.asarray(R_t, jnp.float32)[None], ea)
+    # f32 + differently-fused XLA programs: a few 1e-4-scale ulps accumulate
+    np.testing.assert_allclose(np.asarray(bank.x[i]), np.asarray(xo),
+                               rtol=2e-3, atol=5e-4)
+
+  # pallas interpret path bitwise vs the jnp path
+  pl_bank = LiveKalmanBank(batch=B, use_pallas=True)
+  orig = pallas_live.live_bank_scan_mixed
+  try:
+    pallas_live.live_bank_scan_mixed = functools.partial(orig, interpret=True)
+    pl_bank.run_mixed(dts, kind_idx, zs, kinds, r_stream=r_stream,
+                      stream_kinds=(K.CAMERA_ODO_TRANSLATION,))
+  finally:
+    pallas_live.live_bank_scan_mixed = orig
+  np.testing.assert_array_equal(np.asarray(pl_bank.x), np.asarray(bank.x))
+  np.testing.assert_array_equal(np.asarray(pl_bank.P), np.asarray(bank.P))
