@@ -165,7 +165,8 @@ def live_update_pos_slab(x, P, z, R, gate: bool = False,
   """Fused ECEF_POS update on slab state: the kind=ECEF_POS case of the
   generic sparse update below (H = [I3 | 0], so HP = P[:3]). Kept as a
   named entry point for the single-kind Pallas kernel."""
-  return live_update_slab(12, x, P, z, R, gate=gate, gate_thresh=gate_thresh)
+  return live_update_slab(_K.ECEF_POS, x, P, z, R, gate=gate,
+                          gate_thresh=gate_thresh)
 
 
 def live_step_slab(x, P, Q, dt, z, R, gate: bool = False):
@@ -410,6 +411,26 @@ def _stream_r_tuple(r_row, dz: int):
                for i in range(dz))
 
 
+def make_update_branches(kinds: tuple, R_static_by_kind,
+                         stream_kinds: tuple = (), gate: bool = False):
+  """Per-kind update closures `(x, P, z3, r_row) -> (x, P)` for lax.switch
+  — the ONE branch builder both the jnp mixed scan and the Pallas mixed
+  kernel use, so the two paths cannot diverge. Kinds in `stream_kinds`
+  build their diagonal R from r_row (per-step traced scalars); others use
+  R_static_by_kind[kind] (array in jnp, nested static tuple in Pallas)."""
+  def _branch(k):
+    dz = LANE_KINDS[k][0]
+
+    def apply(xc, Pc, z, r_row):
+      R = (_stream_r_tuple(r_row, dz) if k in stream_kinds
+           else R_static_by_kind[k])
+      return live_update_slab(k, xc, Pc, z[:dz], R, gate=gate)[:2]
+
+    return apply
+
+  return tuple(_branch(k) for k in kinds)
+
+
 def live_mixed_scan(x, P, Q, dts, kind_idx, zs, R_by_kind, kinds: tuple,
                     gate: bool = False, r_stream=None,
                     stream_kinds: tuple = ()):
@@ -430,17 +451,7 @@ def live_mixed_scan(x, P, Q, dts, kind_idx, zs, R_by_kind, kinds: tuple,
     assert not stream_kinds
     r_stream = jnp.zeros((dts.shape[0], 3), dtype=x.dtype)
 
-  def _branch(k):
-    dz = LANE_KINDS[k][0]
-
-    def apply(xc, Pc, z, r_row):
-      R = (_stream_r_tuple(r_row, dz) if k in stream_kinds
-           else R_by_kind[k])
-      return live_update_slab(k, xc, Pc, z[:dz], R, gate=gate)[:2]
-
-    return apply
-
-  branches = tuple(_branch(k) for k in kinds)
+  branches = make_update_branches(kinds, R_by_kind, stream_kinds, gate)
 
   def body(carry, inp):
     xc, Pc = carry

@@ -155,10 +155,8 @@ def _mixed_kernel(dts_ref, kinds_ref, rs_ref, x_in_ref, p_in_ref, zs_ref,
                   x_out_ref, p_out_ref, *, t_chunk: int, q_diag, kinds,
                   r_mats, stream_kinds, gate: bool):
   from rednose_tpu.ops.live_lane import (
-      LANE_KINDS,
-      _stream_r_tuple,
       live_predict_slab,
-      live_update_slab,
+      make_update_branches,
   )
 
   j = pl.program_id(1)
@@ -168,18 +166,10 @@ def _mixed_kernel(dts_ref, kinds_ref, rs_ref, x_in_ref, p_in_ref, zs_ref,
     x_out_ref[:] = x_in_ref[:]
     p_out_ref[:] = p_in_ref[:]
 
-  def _branch(k, r_static):
-    dz = LANE_KINDS[k][0]
-
-    def apply(x, P, z, r_row):
-      # streamed kinds take the per-step diagonal noise from SMEM as traced
-      # scalars (a jnp.diag array would need an unsupported relayout)
-      R = _stream_r_tuple(r_row, dz) if k in stream_kinds else r_static
-      return live_update_slab(k, x, P, z[:dz], R, gate=gate)[:2]
-
-    return apply
-
-  branches = tuple(_branch(k, r) for k, r in zip(kinds, r_mats))
+  # the same branch builder the jnp mixed scan uses (streamed kinds read
+  # their per-step diagonal noise from SMEM as traced scalars)
+  branches = make_update_branches(kinds, dict(zip(kinds, r_mats)),
+                                  stream_kinds, gate)
 
   def body(t, carry):
     x, P = carry

@@ -145,7 +145,10 @@ class LiveKalmanBank:
     kinds = tuple(int(k) for k in kinds)
     stream_kinds = tuple(int(k) for k in stream_kinds)
     assert all(k in live_lane.LANE_KINDS for k in kinds), kinds
+    assert set(stream_kinds) <= set(kinds), (
+        f"stream_kinds {stream_kinds} not all in kinds {kinds}")
     assert (r_stream is None) == (not stream_kinds)
+    eye = np.eye(3)  # placeholder where a kind's static R is never read
     if R_by_kind is None:
       missing = [k for k in kinds
                  if k not in LiveKalman.obs_noise and k not in stream_kinds]
@@ -154,12 +157,17 @@ class LiveKalmanBank:
             f"kinds {missing} carry per-measurement noise in the reference "
             "(no obs_noise default, live_kf.py:325-337); pass R_by_kind or "
             "stream their variances via r_stream/stream_kinds")
-      eye = np.eye(3)  # placeholder for streamed kinds (static R unused)
       R_by_kind = {k: LiveKalman.obs_noise.get(k, eye) for k in kinds}
+    else:
+      # streamed kinds never read their static entry: fill gaps so an
+      # explicit R_by_kind may omit them (docstring: streamed INSTEAD)
+      R_by_kind = {k: (R_by_kind[k] if k not in stream_kinds
+                       else R_by_kind.get(k, eye)) for k in kinds}
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
     if T == 0:
       return self
+    rsj = None if r_stream is None else jnp.asarray(r_stream, self.dtype)
     if self.use_pallas:
       t_chunk, tile_b = self._tiles(T)
       xp, Pp = pallas_live.pack_live_state(self._x, self._P)
@@ -167,8 +175,6 @@ class LiveKalmanBank:
       r_mats = tuple(tuple(tuple(float(v) for v in row)
                            for row in np.asarray(R_by_kind[k]))
                      for k in kinds)
-      rsj = (None if r_stream is None
-             else jnp.asarray(r_stream, self.dtype))
       xp, Pp = pallas_live.live_bank_scan_mixed(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype),
           jnp.asarray(kind_idx, jnp.int32), rsj, q_diag=self._q_diag,
@@ -177,8 +183,6 @@ class LiveKalmanBank:
       self._x, self._P = pallas_live.unpack_live_state(xp, Pp)
     else:
       R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
-      rsj = (None if r_stream is None
-             else jnp.asarray(r_stream, self.dtype))
       self._x, self._P = live_lane.jit_live_mixed_scan(
           kinds, gate=gate, stream_kinds=stream_kinds)(
           self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
