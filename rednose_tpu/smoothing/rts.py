@@ -239,3 +239,18 @@ def smooth_estimates(spec: FilterSpec, params, estimates,
   xs = np.asarray(xs)
   Ps = np.asarray(Ps)
   return [(xs[i], Ps[i]) for i in range(xs.shape[0])]
+
+
+def rts_smooth_parallel_bank(spec: FilterSpec, params, x_pred, P_pred,
+                             x_post, P_post, t, norm_quats: bool = False,
+                             dts=None):
+  """Smooth a BANK of trajectories in one program: all arguments gain a
+  leading bank axis B (x_* (B, T, dim_x), P_* (B, T, d, d), t (B, T)) and
+  the O(log T) parallel-in-time pass vmaps over it — B x T smoothing as a
+  single XLA computation, the offline analog of the filter banks."""
+  fn = functools.partial(rts_smooth_parallel, spec, params,
+                         norm_quats=norm_quats)
+  if dts is None:
+    return jax.vmap(lambda *a: fn(*a))(x_pred, P_pred, x_post, P_post, t)
+  return jax.vmap(lambda *a: fn(*a[:-1], dts=a[-1]))(
+      x_pred, P_pred, x_post, P_post, t, dts)

@@ -87,3 +87,45 @@ def test_smooth_estimates_short_inputs():
   out = smooth_estimates(kf.spec, {}, estimates)
   assert len(out) == 1
   np.testing.assert_allclose(out[0][0], np.asarray(estimates[0][1]).reshape(-1))
+
+
+def test_bank_smoothing_matches_per_trajectory():
+  """rts_smooth_parallel_bank == per-trajectory rts_smooth_parallel."""
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind
+  from rednose_tpu.core import step as step_ops
+  from rednose_tpu.smoothing import rts
+
+  spec = KinematicKalman.build_spec()
+  rng = np.random.RandomState(0)
+  B, T = 3, 20
+  Q = jnp.asarray(KinematicKalman.Q)
+  xp = np.zeros((B, T, 2))
+  Pp = np.zeros((B, T, 2, 2))
+  xf = np.zeros((B, T, 2))
+  Pf = np.zeros((B, T, 2, 2))
+  ts = np.tile(0.01 * (1 + np.arange(T)), (B, 1))
+  for b in range(B):
+    x = jnp.asarray(KinematicKalman.initial_x, jnp.float64)
+    P = jnp.asarray(np.diag(KinematicKalman.initial_P_diag), jnp.float64)
+    for k in range(T):
+      x1, P1 = step_ops.predict(spec, {}, x, P, Q, jnp.asarray(0.01))
+      x, P, _ = step_ops.update(
+          spec, ObservationKind.POSITION, {}, x1, P1,
+          jnp.asarray([0.1 * rng.randn()]), jnp.asarray([[0.01]]),
+          jnp.zeros((1,)))
+      xp[b, k], Pp[b, k] = np.asarray(x1), np.asarray(P1)
+      xf[b, k], Pf[b, k] = np.asarray(x), np.asarray(P)
+
+  xs_bank, Ps_bank = rts.rts_smooth_parallel_bank(
+      spec, {}, jnp.asarray(xp), jnp.asarray(Pp), jnp.asarray(xf),
+      jnp.asarray(Pf), jnp.asarray(ts))
+  for b in range(B):
+    xs, Ps = rts.rts_smooth_parallel(
+        spec, {}, jnp.asarray(xp[b]), jnp.asarray(Pp[b]),
+        jnp.asarray(xf[b]), jnp.asarray(Pf[b]), jnp.asarray(ts[b]))
+    np.testing.assert_allclose(np.asarray(xs_bank[b]), np.asarray(xs),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ps_bank[b]), np.asarray(Ps),
+                               rtol=1e-10, atol=1e-12)
