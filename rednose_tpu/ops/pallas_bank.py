@@ -1,0 +1,224 @@
+"""Generic VMEM-resident Pallas bank: ANY (scatter-free) FilterSpec.
+
+The ladder's automatic rung 3 (README): where ops/pallas_live.py exploits
+hand-derived model structure for the flagship, this kernel runs an
+arbitrary FilterSpec's bank with the state resident in VMEM across the
+whole (T x B) scan — the spec's own f / h / err functions (and their
+jax.jacfwd Jacobians, including the ESKF H_mod chain) are traced INSIDE
+the kernel, vmapped over the trailing bank dims, so covariance math stays
+lane-major while the model code is exactly what the user wrote. No
+hand-derivation required; the win over the pure-jnp lane bank is the
+eliminated per-step HBM round-trip of the (d, d, B) covariance.
+
+Lowering constraints on the spec functions (Mosaic TPU, see CLAUDE.md):
+  * no scatter: `.at[...].add` does not lower (`.at[...].set` on static
+    slices is fine). Shipped example: models/kinematic.py builds its
+    dynamics with jnp.stack.
+  * runtime `params` must be {} / static scalars (array params would need
+    to be threaded as kernel inputs).
+MSCKF feature kinds and block-structured specs stay on runtime/bank.py.
+Parity with the core/step.py oracle: tests/test_pallas_bank.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rednose_tpu.core.spec import FilterSpec
+from rednose_tpu.ops.lane_bank import _inv_small
+from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym
+
+SUBLANES = 8
+
+
+def _vt(fn, n: int = 2):
+  """vmap fn over the n trailing (bank) dims."""
+  for _ in range(n):
+    fn = jax.vmap(fn, in_axes=-1, out_axes=-1)
+  return fn
+
+
+def _vt2(fn, n: int = 2):
+  for _ in range(n):
+    fn = jax.vmap(fn, in_axes=(-1, -1), out_axes=-1)
+  return fn
+
+
+def _add_diag(P, scale, diag):
+  """P + scale*diag on the diagonal, concatenate-built (no scatter)."""
+  d = P.shape[0]
+  return jnp.stack([
+      jnp.concatenate(
+          ([P[i, :i]] if i else [])
+          + [(P[i, i] + scale * diag[i])[None]]
+          + ([P[i, i + 1:]] if i + 1 < d else []))
+      for i in range(d)])
+
+
+def _normalize_slices_slab(x, idxs):
+  for idx in idxs:
+    q = x[idx:idx + 4]
+    inv = jax.lax.rsqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2]
+                        + q[3] * q[3])
+    x = jnp.concatenate(([x[:idx]] if idx else []) + [q * inv]
+                        + ([x[idx + 4:]] if idx + 4 < x.shape[0] else []))
+  return x
+
+
+def generic_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt):
+  """Dense generic predict on slab state: x (dim_x, *b), P (de, de, *b);
+  q_diag is a static tuple of diagonal process-noise scalars."""
+  assert spec.dim_main_err == spec.dim_err, "MSCKF blocks: use runtime/bank"
+  de = spec.dim_err
+  x_new = _vt(lambda xx: spec.f(params, xx, dt))(x)
+  F = _vt(lambda xx: spec.F(params, xx, dt))(x)  # jacfwd traced in-kernel
+  P_new = _sym(_mm_rt(_mm_l(F, P, de), F, de))
+  P_new = _add_diag(P_new, dt, q_diag)
+  return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new
+
+
+def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
+                        gate: bool = False):
+  """Dense generic update on slab state: z (dz, *b); R is a (dz, dz) nested
+  static tuple (kernel) or array (jnp use). ESKF H_mod chain included."""
+  om = spec.obs[kind]
+  assert not om.is_feature, "MSCKF feature kinds: use runtime/bank"
+  dz, de = om.dz, spec.dim_err
+  m = max(om.ea_dim, 1)
+
+  # ea placeholder built from x (a jnp.zeros constant would be rejected as
+  # a captured constant inside Pallas kernels)
+  h = _vt(lambda xx: om.h(params, xx, xx[:m] * 0.0))(x)
+  H = _vt(lambda xx: spec.H(kind, params, xx, xx[:m] * 0.0))(x)
+  if spec.is_eskf:
+    Hm = _vt(lambda xx: spec.H_mod_at(params, xx))(x)
+    H = _mm_l(H, Hm, spec.dim_x)          # (dz, de, *b)
+  y = z - h
+  HP = _mm_l(H, P, de)                    # (dz, de, *b)
+  S = _mm_rt(HP, H, de)                   # (dz, dz, *b)
+  if isinstance(R, tuple):
+    S = jnp.stack([jnp.stack([S[i, j] + R[i][j] for j in range(dz)])
+                   for i in range(dz)])
+  else:
+    if R.ndim == 2:
+      R = R.reshape(R.shape + (1,) * (x.ndim - 1))
+    S = S + R
+  Sinv = _inv_small(S)
+  K = _mm_l(jnp.swapaxes(HP, 0, 1), Sinv, dz)  # P H^T S^-1 (P symmetric)
+  if gate:
+    dist = sum(y[i] * Sinv[i, j] * y[j]
+               for i in range(dz) for j in range(dz))
+    K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
+  dx = sum(K[:, i] * y[i][None] for i in range(dz))
+
+  KHP = _mm_l(K, HP, dz)
+  KSK = _mm_rt(_mm_l(K, S, dz), K, dz)
+  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
+  x_new = _vt2(lambda xx, dd: spec.err(params, xx, dd))(x, dx)
+  return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, y
+
+
+def pack_bank(x, P):
+  """x (B, dim_x) + lane-major P (de, de, B) -> slab layout
+  ((dim_x, 8, B/8), (de, de, 8, B/8))."""
+  B, dx = x.shape
+  de = P.shape[0]
+  bsub = B // SUBLANES
+  return x.T.reshape(dx, SUBLANES, bsub), P.reshape(de, de, SUBLANES, bsub)
+
+
+def unpack_bank(xp, Pp):
+  dx, _, bsub = xp.shape
+  de = Pp.shape[0]
+  B = SUBLANES * bsub
+  return xp.reshape(dx, B).T, Pp.reshape(de, de, B)
+
+
+def pack_bank_measurements(zs):
+  T, B, dz = zs.shape
+  return jnp.swapaxes(zs, 1, 2).reshape(T, dz, SUBLANES, B // SUBLANES)
+
+
+def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
+            spec, kind, t_chunk: int, q_diag, r_mat, gate: bool):
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    x_out_ref[:] = x_in_ref[:]
+    p_out_ref[:] = p_in_ref[:]
+
+  def body(k, carry):
+    x, P = carry
+    dt = dts_ref[k, 0]
+    z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
+    x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt)
+    x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat, gate=gate)
+    return (x, P)
+
+  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
+  x_out_ref[:] = x
+  p_out_ref[:] = P
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
+                     'tile_b', 'interpret'))
+def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
+                      q_diag, r_mat, gate: bool = False, t_chunk: int = 128,
+                      tile_b: int = 1024, interpret: bool = False):
+  """T fused predict+update steps of ANY scatter-free spec, VMEM-resident.
+
+  Args mirror pallas_live.live_bank_scan with generic dims: x_packed
+  (dim_x, 8, B/8), P_packed (de, de, 8, B/8), zs_packed (T, dz, 8, B/8),
+  q_diag static tuple of de diagonal process-noise scalars, r_mat static
+  (dz, dz) nested tuple.
+  """
+  T = zs_packed.shape[0]
+  dx, de, dz = spec.dim_x, spec.dim_err, spec.obs[kind].dz
+  bsub = x_packed.shape[-1]
+  B = SUBLANES * bsub
+  tile = tile_b // SUBLANES
+  assert x_packed.shape == (dx, SUBLANES, bsub), x_packed.shape
+  assert P_packed.shape == (de, de, SUBLANES, bsub), P_packed.shape
+  assert zs_packed.shape == (T, dz, SUBLANES, bsub), zs_packed.shape
+  assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
+  assert len(q_diag) == de and len(r_mat) == dz, (len(q_diag), len(r_mat))
+  n_b, n_t = B // tile_b, T // t_chunk
+
+  kernel = functools.partial(_kernel, spec=spec, kind=kind, t_chunk=t_chunk,
+                             q_diag=q_diag, r_mat=r_mat, gate=gate)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n_b, n_t),
+      in_specs=[
+          pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((t_chunk, dz, SUBLANES, tile),
+                       lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((dx, SUBLANES, bsub), x_packed.dtype),
+          jax.ShapeDtypeStruct((de, de, SUBLANES, bsub), P_packed.dtype),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(dts.reshape(T, 1), x_packed, P_packed, zs_packed)

@@ -1,0 +1,94 @@
+"""Generic VMEM-resident Pallas bank (ops/pallas_bank.py) vs the core/step
+oracle, for scatter-free specs: the shipped kinematic model and a custom
+4-state constant-turn spec with a 2-dim gated observation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rednose_tpu.core import step as step_ops
+from rednose_tpu.core.spec import FilterSpec, ObservationModel
+from rednose_tpu.models.kinematic import KinematicKalman
+from rednose_tpu.models.kinematic import ObservationKind as KK
+from rednose_tpu.ops import pallas_bank
+
+
+def _ct_f(params, x, dt):
+  """Constant-turn 2-D model [px, py, v, heading] — deliberately nonlinear
+  and scatter-free (built with jnp.stack)."""
+  del params
+  return jnp.stack([
+      x[0] + dt * x[2] * jnp.cos(x[3]),
+      x[1] + dt * x[2] * jnp.sin(x[3]),
+      x[2],
+      x[3] + dt * 0.1,
+  ])
+
+
+def _ct_h(params, x, ea):
+  del params, ea
+  return jnp.stack([x[0], x[1]])
+
+
+def _ct_spec():
+  return FilterSpec(
+      name='const_turn', dim_x=4, dim_err=4, f=_ct_f,
+      obs={1: ObservationModel(kind=1, h=_ct_h, dz=2, maha_test=True)})
+
+
+def _run_oracle(spec, kind, x0, P0, Q, dts, zs, R, B, T):
+  outs_x, outs_P = [], []
+  ea = jnp.zeros((1,))
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for k in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, jnp.asarray(Q),
+                              jnp.asarray(dts[k]))
+      x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                jnp.asarray(zs[k, i]), jnp.asarray(R), ea)
+    outs_x.append(np.asarray(x))
+    outs_P.append(np.asarray(P))
+  return np.stack(outs_x), np.stack(outs_P)
+
+
+@pytest.mark.parametrize("case", ["kinematic", "const_turn"])
+def test_generic_kernel_matches_oracle(case):
+  rng = np.random.RandomState(0)
+  B, T = 16, 6
+  if case == "kinematic":
+    spec, kind = KinematicKalman.build_spec(), KK.POSITION
+    x0 = np.tile(KinematicKalman.initial_x, (B, 1)) + 0.1 * rng.randn(B, 2)
+    P0 = np.tile(np.diag(KinematicKalman.initial_P_diag), (B, 1, 1))
+    Q = np.asarray(KinematicKalman.Q)
+    zs = 0.5 * rng.randn(T, B, 1)
+    R = np.atleast_2d(0.01)
+  else:
+    spec, kind = _ct_spec(), 1
+    x0 = np.column_stack([rng.randn(B), rng.randn(B),
+                          1.0 + 0.1 * rng.rand(B), 0.1 * rng.randn(B)])
+    P0 = np.tile(np.diag([1.0, 1.0, 0.5, 0.2]), (B, 1, 1))
+    Q = np.diag([0.01, 0.01, 0.1, 0.05])
+    zs = x0[None, :, 0:2] + 0.3 * rng.randn(T, B, 2)
+    zs[:, ::4, :] += 1e3  # gross outliers: exercise the gate
+    R = np.diag([0.09, 0.09])
+
+  dts = np.full((T,), 0.05)
+  dtype = np.float32
+  xp, Pp = pack = pallas_bank.pack_bank(
+      jnp.asarray(x0, dtype), jnp.asarray(P0.transpose(1, 2, 0), dtype))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, dtype))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+  r_mat = tuple(tuple(float(v) for v in row) for row in R)
+  gate = spec.obs[kind].maha_test
+
+  xo, Po = pallas_bank.generic_bank_scan(
+      xp, Pp, zsp, jnp.asarray(dts, dtype), spec=spec, kind=kind,
+      q_diag=q_diag, r_mat=r_mat, gate=gate, t_chunk=3, tile_b=8,
+      interpret=True)
+  xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  x_ref, P_ref = _run_oracle(spec, kind, x0, P0, Q, dts, zs, R, B, T)
+  np.testing.assert_allclose(np.asarray(xu), x_ref, rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(Pu).transpose(2, 0, 1), P_ref,
+                             rtol=2e-3, atol=2e-4)
