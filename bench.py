@@ -45,7 +45,7 @@ def bench_live_bank():
   from rednose_tpu.ops import lane_bank, pallas_live
   from rednose_tpu.runtime import bank as bank_ops
 
-  path = os.environ.get("BENCH_LIVE_PATH", "pallas")
+  path = os.environ.get("BENCH_LIVE_PATH", "pallas")  # |mixed|lane|lane_sparse
   fused = path in ("pallas", "mixed")
   B = int(os.environ.get("BENCH_BANK", 8192 if fused else 1024))
   T = int(os.environ.get("BENCH_STEPS", 1024 if fused else 256))
@@ -107,11 +107,18 @@ def bench_live_bank():
 
     args = (xp, Pp, zsp)
   else:
+    structure = None
+    if path == "lane_sparse":
+      from rednose_tpu.ops import sparsity
+      structure = sparsity.structure_for(spec, LiveKalman.initial_x)
+      log(f"lane structure: F nnz {structure.f_nnz}/{spec.dim_err**2}")
+
     @jax.jit
     def chain(x, P, zs):
       for _ in range(chain_n):
         x, P = lane_bank.lane_bank_scan(
-            spec, ObservationKind.ECEF_POS, {}, x, P, Q, dts, zs, R)
+            spec, ObservationKind.ECEF_POS, {}, x, P, Q, dts, zs, R,
+            structure=structure)
       return jnp.sum(x) + jnp.sum(P)
 
     args = (state.x, P0, zs)
@@ -129,6 +136,73 @@ def bench_live_bank():
       f"scans -> {steps_per_sec/1e6:.2f}M steps/s")
   print(json.dumps({
       "metric": f"live_eskf_bank_predict_update_throughput_{path}",
+      "value": round(steps_per_sec, 1),
+      "unit": "steps/sec/chip",
+      "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }))
+
+
+def bench_generic():
+  """Generic VMEM-resident kernel (ops/pallas_bank.py) on the UNMODIFIED
+  live spec — no hand-derivation. BENCH_GENERIC_PATH=sparse (default) uses
+  auto-detected structural sparsity (ops/sparsity.py: masked F P F^T +
+  composed-H columns via jvp); =dense runs the dense jacfwd products."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.live import LiveKalman, ObservationKind as K
+  from rednose_tpu.ops import pallas_bank, sparsity
+
+  path = os.environ.get("BENCH_GENERIC_PATH", "sparse")
+  B = int(os.environ.get("BENCH_BANK", 8192))
+  T = int(os.environ.get("BENCH_STEPS", 512))
+  tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
+  t_chunk = int(os.environ.get("BENCH_T_CHUNK", 128))
+  chain_n = int(os.environ.get("BENCH_CHAIN", 4))
+  spec = LiveKalman.build_spec()
+  structure = (sparsity.detect_structure(spec, LiveKalman.initial_x)
+               if path == "sparse" else None)
+  if structure is not None:
+    log(f"detected structure: F nnz {structure.f_nnz}/{spec.dim_err**2}, "
+        f"pos-H cols {structure.cols_for(K.ECEF_POS)}")
+
+  dtype = jnp.float32
+  rng = np.random.RandomState(0)
+  x0 = np.tile(LiveKalman.initial_x, (B, 1))
+  P0 = np.tile(np.diag(LiveKalman.initial_P_diag), (B, 1, 1))
+  zs = jnp.asarray(LiveKalman.initial_x[0:3], dtype) + \
+      5.0 * jax.random.normal(jax.random.key(0), (T, B, 3), dtype=dtype)
+  dts = jnp.full((T,), 0.01, dtype=dtype)
+  q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
+  r_mat = tuple(tuple(float(v) for v in row) for row in np.diag([25.0] * 3))
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0, dtype), jnp.asarray(P0.transpose(1, 2, 0), dtype))
+  zsp = pallas_bank.pack_bank_measurements(zs)
+
+  @jax.jit
+  def chain(xp, Pp, zsp):
+    for _ in range(chain_n):
+      xp, Pp = pallas_bank.generic_bank_scan(
+          xp, Pp, zsp, dts, spec=spec, kind=K.ECEF_POS, q_diag=q_diag,
+          r_mat=r_mat, gate=True, t_chunk=t_chunk, tile_b=tile_b,
+          structure=structure)
+    return jnp.sum(xp) + jnp.sum(Pp)
+
+  log(f"compiling generic {path} kernel (in-kernel jacfwd of a "
+      f"{spec.dim_err}-dim spec: first compile is minutes-scale)...")
+  val = float(chain(xp, Pp, zsp))
+  assert np.isfinite(val), "non-finite filter state"
+  times = []
+  for _ in range(REPS):
+    t0 = time.perf_counter()
+    float(chain(xp, Pp, zsp))
+    times.append(time.perf_counter() - t0)
+  best = min(times)
+  steps_per_sec = (B * T * chain_n) / best
+  log(f"generic {path} live bank B={B}: best {best*1e3:.2f} ms for "
+      f"{chain_n} chained scans -> {steps_per_sec/1e6:.2f}M steps/s")
+  print(json.dumps({
+      "metric": f"live_generic_kernel_throughput_{path}",
       "value": round(steps_per_sec, 1),
       "unit": "steps/sec/chip",
       "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
@@ -256,6 +330,8 @@ if __name__ == "__main__":
   model = os.environ.get("BENCH_MODEL", "kinematic")
   if model == "live":
     bench_live_bank()
+  elif model == "generic":
+    bench_generic()
   elif model == "rts":
     bench_rts()
   else:

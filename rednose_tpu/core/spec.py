@@ -138,7 +138,10 @@ class FilterSpec:
     import jax
 
     if self.f_err is not None:
-      zeros = jnp.zeros((self.dim_err,), dtype=x.dtype)
+      # zero seed derived from x, not jnp.zeros: array constants built
+      # inside Pallas kernels are rejected ("captured constant"), and this
+      # Jacobian is traced in-kernel by ops/pallas_bank.py
+      zeros = x[: self.dim_err] * 0.0
       return jax.jacfwd(lambda dx: self.f_err(params, x, dx, dt))(zeros)
     return jax.jacfwd(lambda xx: self.f(params, xx, dt))(x)
 

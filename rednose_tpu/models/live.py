@@ -116,18 +116,23 @@ def _omega_matrix(w):
 
 
 def _f(params, x, dt):
-  """First-order integrator over the nominal state (live_kf.py:160-168)."""
+  """First-order integrator over the nominal state (live_kf.py:160-168).
+
+  Concatenate-built (not scatter-built) so the function lowers inside
+  Pallas TPU kernels (ops/pallas_bank.py traces spec functions in-kernel;
+  scatter does not lower in Mosaic — see CLAUDE.md)."""
   del params
   q = x[S.ECEF_ORIENTATION]
   v = x[S.ECEF_VELOCITY]
   omega = x[S.ANGULAR_VELOCITY]
   accel = x[S.ACCELERATION]
 
-  x_dot = jnp.zeros_like(x)
-  x_dot = x_dot.at[S.ECEF_POS].set(v)
-  x_dot = x_dot.at[S.ECEF_ORIENTATION].set(_omega_matrix(omega) @ q)
-  x_dot = x_dot.at[S.ECEF_VELOCITY].set(quat_to_rot(q) @ accel)
-  return x + dt * x_dot
+  return jnp.concatenate([
+      x[S.ECEF_POS] + dt * v,
+      q + dt * (_omega_matrix(omega) @ q),
+      v + dt * (quat_to_rot(q) @ accel),
+      x[10:],
+  ])
 
 
 def _f_err(params, x, dx, dt):
@@ -148,13 +153,15 @@ def _f_err(params, x, dx, dt):
   err_rot = euler_to_rot(q_err)
   quat_rot = quat_to_rot(q)
 
-  dx_dot = jnp.zeros_like(dx)
-  dx_dot = dx_dot.at[S.ECEF_POS_ERR].set(v_err)
-  dx_dot = dx_dot.at[S.ECEF_ORIENTATION_ERR].set(
-      err_rot @ quat_rot @ (omega + omega_err))
-  dx_dot = dx_dot.at[S.ECEF_VELOCITY_ERR].set(
-      err_rot @ quat_rot @ (accel + accel_err))
-  return dx + dt * dx_dot
+  # concatenate-built for in-kernel tracing (see _f)
+  return jnp.concatenate([
+      dx[S.ECEF_POS_ERR] + dt * v_err,
+      dx[S.ECEF_ORIENTATION_ERR] + dt * (err_rot @ quat_rot
+                                         @ (omega + omega_err)),
+      dx[S.ECEF_VELOCITY_ERR] + dt * (err_rot @ quat_rot
+                                      @ (accel + accel_err)),
+      dx[9:],
+  ])
 
 
 def _err(params, nom_x, dx):
@@ -162,37 +169,57 @@ def _err(params, nom_x, dx):
   with delta_quat = [1, 0.5*dtheta] via the right product matrix
   (live_kf.py:200-205)."""
   del params
-  out = nom_x.at[S.ECEF_POS].add(dx[S.ECEF_POS_ERR])
+  # delta_quat's leading 1 derived from the input (not jnp.ones): this
+  # function is differentiated in-kernel by the composed-H fast path
+  # (ops/sparsity.composed_h_jvp) and Pallas rejects captured constants
   delta_quat = jnp.concatenate(
-      [jnp.ones((1,), dtype=nom_x.dtype), 0.5 * dx[S.ECEF_ORIENTATION_ERR]])
-  out = out.at[S.ECEF_ORIENTATION].set(
-      quat_matrix_r(nom_x[S.ECEF_ORIENTATION]) @ delta_quat)
-  out = out.at[7:].add(dx[6:])
-  return out
+      [nom_x[0:1] * 0.0 + 1.0, 0.5 * dx[S.ECEF_ORIENTATION_ERR]])
+  return jnp.concatenate([
+      nom_x[S.ECEF_POS] + dx[S.ECEF_POS_ERR],
+      quat_matrix_r(nom_x[S.ECEF_ORIENTATION]) @ delta_quat,
+      nom_x[7:] + dx[6:],
+  ])
 
 
 def _inv_err(params, nom_x, true_x):
-  """dx = inv_err(nom_x, true_x) (live_kf.py:207-211)."""
+  """dx = inv_err(nom_x, true_x) (live_kf.py:207-211).
+
+  Concatenate-built for in-kernel tracing (see _f)."""
   del params
-  dx = jnp.zeros((DIM_STATE_ERR,), dtype=nom_x.dtype)
-  dx = dx.at[S.ECEF_POS_ERR].set(true_x[S.ECEF_POS] - nom_x[S.ECEF_POS])
   delta_quat = (quat_matrix_r(nom_x[S.ECEF_ORIENTATION]).T
                 @ true_x[S.ECEF_ORIENTATION])
-  dx = dx.at[S.ECEF_ORIENTATION_ERR].set(2.0 * delta_quat[1:])
-  dx = dx.at[6:].set(true_x[7:] - nom_x[7:])
-  return dx
+  return jnp.concatenate([
+      true_x[S.ECEF_POS] - nom_x[S.ECEF_POS],
+      2.0 * delta_quat[1:],
+      true_x[7:] - nom_x[7:],
+  ])
 
 
 def _H_mod(params, x):
   """Observation-matrix modifier mapping error state to nominal state
   (live_kf.py:187-190): identity blocks except the 4x3 quaternion block
-  0.5 * quat_matrix_r(q)[:, 1:]."""
+  0.5 * quat_matrix_r(q)[:, 1:].
+
+  Block-concatenated from input-derived scalars (no scatter, no captured
+  array constants) so it traces inside Pallas kernels (see _f)."""
   del params
-  H = jnp.zeros((DIM_STATE, DIM_STATE_ERR), dtype=x.dtype)
-  H = H.at[0:3, 0:3].set(jnp.eye(3, dtype=x.dtype))
-  H = H.at[3:7, 3:6].set(0.5 * quat_matrix_r(x[S.ECEF_ORIENTATION])[:, 1:])
-  H = H.at[7:, 6:].set(jnp.eye(DIM_STATE - 7, dtype=x.dtype))
-  return H
+  zero = x[0] * 0.0
+  one = zero + 1.0
+
+  def eye(n):
+    return jnp.stack([
+        jnp.stack([one if i == j else zero for j in range(n)])
+        for i in range(n)])
+
+  def z(r, c):
+    return jnp.broadcast_to(zero, (r, c))
+
+  qr = 0.5 * quat_matrix_r(x[S.ECEF_ORIENTATION])[:, 1:]
+  return jnp.concatenate([
+      jnp.concatenate([eye(3), z(3, DIM_STATE_ERR - 3)], axis=1),
+      jnp.concatenate([z(4, 3), qr, z(4, DIM_STATE_ERR - 6)], axis=1),
+      jnp.concatenate([z(DIM_STATE - 7, 6), eye(DIM_STATE - 7)], axis=1),
+  ])
 
 
 # ---------------------------------------------------------------- observations

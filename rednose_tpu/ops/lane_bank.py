@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops.quaternion import normalize_slices
+from rednose_tpu.ops.sparsity import composed_h_jvp, f_columns, fpf_masked
 
 Array = Any
 
@@ -115,48 +116,74 @@ def cho_solve_lane(cols, B_):
   return jnp.stack(X)
 
 
-def lane_predict(spec: FilterSpec, params, x, P, Q, dt):
+def lane_predict(spec: FilterSpec, params, x, P, Q, dt, structure=None):
   """Bank predict: x (B, dim_x), P (dim_err, dim_err, B) lane-major.
 
   Implements ekf_c.c:8-33 semantics (full F P F^T; MSCKF block structure not
-  supported here — see module docstring)."""
+  supported here — see module docstring). With a detected `structure`
+  (ops/sparsity.SpecStructure) the F P F^T products unroll only F's
+  structurally nonzero entries — the automated analog of the hand-derived
+  live fast path (ops/live_lane.py)."""
   x_new = jax.vmap(lambda xx: spec.f(params, xx, dt))(x)
-  F = jax.vmap(lambda xx: spec.F(params, xx, dt), out_axes=2)(x)  # (d,d,B)
-  P_new = _matmul_lt(_matmul_ll(F, P), F)
+  if structure is None:
+    F = jax.vmap(lambda xx: spec.F(params, xx, dt), out_axes=2)(x)  # (d,d,B)
+    P_new = _matmul_lt(_matmul_ll(F, P), F)
+  else:
+    Fc = jax.vmap(
+        lambda xx: f_columns(spec, params, xx, dt, structure.g_cols),
+        out_axes=1)(x)  # {col: (d, B)}
+    P_new = fpf_masked(Fc, P, structure.g_cols)
   P_new = _sym(P_new) + (dt * Q)[:, :, None]
   x_new = jax.vmap(lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
   return x_new, P_new
 
 
-def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
+def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
+                structure=None):
   """Bank update: z (B, dz), R (dz, dz) shared or (dz, dz, B) lane-major.
 
   Same math as core/step.py update (innovation, ESKF H.H_mod, Mahalanobis
   zero-gain gate, closed-form S^-1, Joseph form), restructured lane-major.
+  With a detected `structure`, the composed H_err columns come from
+  jax.jvp through the error injection (only the structurally nonzero
+  columns) and the Joseph form is expanded exactly to
+  P - K(HP) - (HP)^T K^T + K S K^T, cutting the two dense de^3 products to
+  de^2 dz (see ops/live_lane.py for the algebra).
   """
   om = spec.obs[kind]
   dz, de = om.dz, spec.dim_err
   ea0 = jnp.zeros((max(om.ea_dim, 1),), dtype=x.dtype)
 
-  h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)  # (dz, B)
-  y = z.T - h
-
-  # H (and the ESKF H.H_mod chain) lane-major: composing them per-filter
-  # inside the vmap would emit batched small matmuls (the slow pattern this
-  # module exists to avoid)
-  H_raw = jax.vmap(lambda xx: spec.H(kind, params, xx, ea0),
-                   out_axes=2)(x)  # (dz, dim_x, B)
-  if spec.is_eskf:
-    Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx),
-                  out_axes=2)(x)  # (dim_x, de, B)
-    H = _matmul_ll(H_raw, Hm)  # (dz, de, B)
-  else:
-    H = H_raw
   if R.ndim == 2:
     R = R[:, :, None]
 
-  PHt = _matmul_lt(P, H)  # (de, dz, B)
-  S = _matmul_ll(H, PHt) + R  # (dz, dz, B)
+  if structure is None:
+    h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)  # (dz, B)
+    # H (and the ESKF H.H_mod chain) lane-major: composing them per-filter
+    # inside the vmap would emit batched small matmuls (the slow pattern
+    # this module exists to avoid)
+    H_raw = jax.vmap(lambda xx: spec.H(kind, params, xx, ea0),
+                     out_axes=2)(x)  # (dz, dim_x, B)
+    if spec.is_eskf:
+      Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx),
+                    out_axes=2)(x)  # (dim_x, de, B)
+      H = _matmul_ll(H_raw, Hm)  # (dz, de, B)
+    else:
+      H = H_raw
+    HP = jnp.swapaxes(_matmul_lt(P, H), 0, 1)  # (dz, de, B)
+  else:
+    cols = structure.cols_for(kind)
+    h, h_cols = jax.vmap(
+        lambda xx: composed_h_jvp(spec, kind, params, xx, cols),
+        out_axes=1)(x)  # h (dz, B), cols each (dz, B)
+    HP = sum(hc[:, None] * P[c][None] for c, hc in zip(cols, h_cols))
+    S_hp = sum(HP[:, c][:, None] * hc[None] for c, hc in zip(cols, h_cols))
+  y = z.T - h
+
+  PHt = jnp.swapaxes(HP, 0, 1)  # (de, dz, B); P is symmetric
+  if structure is None:
+    S_hp = _matmul_ll(H, PHt)  # H P H^T
+  S = S_hp + R
   Sinv = _inv_small(S)
   K = _matmul_ll(PHt, Sinv)  # (de, dz, B)
 
@@ -167,9 +194,14 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
     K = jnp.where(dist[None, None, :] > om.maha_thresh, 0.0, K)
   dx = sum(K[:, i, :] * y[i][None, :] for i in range(dz))  # (de, B)
 
-  I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)
-  P_new = _matmul_lt(_matmul_ll(I_KH, P), I_KH) + \
-      _matmul_lt(_matmul_ll(K, R), K)
+  if structure is None:
+    I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)
+    P_new = _matmul_lt(_matmul_ll(I_KH, P), I_KH) + \
+        _matmul_lt(_matmul_ll(K, R), K)
+  else:
+    KHP = _matmul_ll(K, HP)  # (de, de, B)
+    KSK = _matmul_lt(_matmul_ll(K, S), K)
+    P_new = P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK
   P_new = _sym(P_new)
 
   x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
@@ -178,12 +210,13 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R):
 
 
 def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
-                   R):
+                   R, structure=None):
   """Scan T fused predict+update steps over the lane-major bank.
 
   Args: x (B, dim_x), P (dim_err, dim_err, B), dts (T,), zs (T, B, dz),
   R (dz, dz) shared across bank and time (per-step R variation belongs to the
-  generic path). Returns (x, P) finals.
+  generic path). Pass `structure` (ops/sparsity.detect_structure) to skip
+  structurally-zero Jacobian arithmetic. Returns (x, P) finals.
   """
   assert not spec.is_msckf, "lane bank does not support MSCKF block structure"
   Rl = jnp.asarray(R, dtype=x.dtype)
@@ -191,8 +224,9 @@ def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
   def body(carry, inp):
     x, P = carry
     dt, z = inp
-    x, P = lane_predict(spec, params, x, P, Q, dt)
-    x, P, _ = lane_update(spec, kind, params, x, P, z, Rl)
+    x, P = lane_predict(spec, params, x, P, Q, dt, structure=structure)
+    x, P, _ = lane_update(spec, kind, params, x, P, z, Rl,
+                          structure=structure)
     return (x, P), None
 
   (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs))
@@ -200,8 +234,9 @@ def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
 
 
 @functools.lru_cache(maxsize=None)
-def jit_lane_bank_scan(spec: FilterSpec, kind: int):
-  return jax.jit(functools.partial(lane_bank_scan, spec, kind))
+def jit_lane_bank_scan(spec: FilterSpec, kind: int, structure=None):
+  return jax.jit(functools.partial(lane_bank_scan, spec, kind,
+                                   structure=structure))
 
 
 def to_lane(P_batch):

@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops.lane_bank import _inv_small
 from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym
+from rednose_tpu.ops.sparsity import composed_h_jvp, f_columns, fpf_masked
+from rednose_tpu.ops.unroll import unroll_dots
 
 SUBLANES = 8
 
@@ -70,37 +72,65 @@ def _normalize_slices_slab(x, idxs):
   return x
 
 
-def generic_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt):
+def generic_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
+                         structure=None):
   """Dense generic predict on slab state: x (dim_x, *b), P (de, de, *b);
-  q_diag is a static tuple of diagonal process-noise scalars."""
+  q_diag is a static tuple of diagonal process-noise scalars. With a
+  detected `structure` (ops/sparsity.SpecStructure) the F P F^T products
+  unroll only F's structurally nonzero entries."""
   assert spec.dim_main_err == spec.dim_err, "MSCKF blocks: use runtime/bank"
   de = spec.dim_err
-  x_new = _vt(lambda xx: spec.f(params, xx, dt))(x)
-  F = _vt(lambda xx: spec.F(params, xx, dt))(x)  # jacfwd traced in-kernel
-  P_new = _sym(_mm_rt(_mm_l(F, P, de), F, de))
+  # unroll_dots: small matmuls in user model code (and inside jacfwd)
+  # become elementwise multiply+sum, which survives the double bank-vmap
+  # inside Mosaic (batched tpu.matmul supports at most 1 batch dim)
+  x_new = _vt(unroll_dots(lambda xx: spec.f(params, xx, dt)))(x)
+  if structure is None:
+    F = _vt(unroll_dots(lambda xx: spec.F(params, xx, dt)))(x)
+    P_new = _sym(_mm_rt(_mm_l(F, P, de), F, de))
+  else:
+    # only the structurally-nonzero F columns, via one linearize — the
+    # dense jacfwd's basis-batched intermediates OOM the Mosaic compiler
+    Fc = _vt(unroll_dots(
+        lambda xx: f_columns(spec, params, xx, dt, structure.g_cols)))(x)
+    P_new = _sym(fpf_masked(Fc, P, structure.g_cols))
   P_new = _add_diag(P_new, dt, q_diag)
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new
 
 
 def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
-                        gate: bool = False):
+                        gate: bool = False, structure=None):
   """Dense generic update on slab state: z (dz, *b); R is a (dz, dz) nested
-  static tuple (kernel) or array (jnp use). ESKF H_mod chain included."""
+  static tuple (kernel) or array (jnp use). ESKF H_mod chain included.
+
+  With a detected `structure` (ops/sparsity.SpecStructure) the composed
+  H_err = H @ H_mod is instead computed column-by-column via jax.jvp
+  through the error injection — only the structurally nonzero columns —
+  and H P / S accumulate over just those columns (detect_structure has
+  verified the composed-H identity against the spec's H_mod)."""
   om = spec.obs[kind]
   assert not om.is_feature, "MSCKF feature kinds: use runtime/bank"
   dz, de = om.dz, spec.dim_err
-  m = max(om.ea_dim, 1)
 
-  # ea placeholder built from x (a jnp.zeros constant would be rejected as
-  # a captured constant inside Pallas kernels)
-  h = _vt(lambda xx: om.h(params, xx, xx[:m] * 0.0))(x)
-  H = _vt(lambda xx: spec.H(kind, params, xx, xx[:m] * 0.0))(x)
-  if spec.is_eskf:
-    Hm = _vt(lambda xx: spec.H_mod_at(params, xx))(x)
-    H = _mm_l(H, Hm, spec.dim_x)          # (dz, de, *b)
+  if structure is None:
+    m = max(om.ea_dim, 1)
+    # ea placeholder built from x (a jnp.zeros constant would be rejected
+    # as a captured constant inside Pallas kernels)
+    h = _vt(unroll_dots(lambda xx: om.h(params, xx, xx[:m] * 0.0)))(x)
+    H = _vt(unroll_dots(
+        lambda xx: spec.H(kind, params, xx, xx[:m] * 0.0)))(x)
+    if spec.is_eskf:
+      Hm = _vt(unroll_dots(lambda xx: spec.H_mod_at(params, xx)))(x)
+      H = _mm_l(H, Hm, spec.dim_x)        # (dz, de, *b)
+    HP = _mm_l(H, P, de)                  # (dz, de, *b)
+    S = _mm_rt(HP, H, de)                 # (dz, dz, *b)
+  else:
+    cols = structure.cols_for(kind)
+    assert cols, f"kind {kind}: observation has all-zero H"
+    h, h_cols = _vt(unroll_dots(
+        lambda xx: composed_h_jvp(spec, kind, params, xx, cols)))(x)
+    HP = sum(hc[:, None] * P[c][None] for c, hc in zip(cols, h_cols))
+    S = sum(HP[:, c][:, None] * hc[None] for c, hc in zip(cols, h_cols))
   y = z - h
-  HP = _mm_l(H, P, de)                    # (dz, de, *b)
-  S = _mm_rt(HP, H, de)                   # (dz, dz, *b)
   if isinstance(R, tuple):
     S = jnp.stack([jnp.stack([S[i, j] + R[i][j] for j in range(dz)])
                    for i in range(dz)])
@@ -119,7 +149,7 @@ def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   KHP = _mm_l(K, HP, dz)
   KSK = _mm_rt(_mm_l(K, S, dz), K, dz)
   P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
-  x_new = _vt2(lambda xx, dd: spec.err(params, xx, dd))(x, dx)
+  x_new = _vt2(unroll_dots(lambda xx, dd: spec.err(params, xx, dd)))(x, dx)
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, y
 
 
@@ -145,7 +175,8 @@ def pack_bank_measurements(zs):
 
 
 def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
-            spec, kind, t_chunk: int, q_diag, r_mat, gate: bool):
+            spec, kind, t_chunk: int, q_diag, r_mat, gate: bool,
+            structure):
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -157,8 +188,10 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
     x, P = carry
     dt = dts_ref[k, 0]
     z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
-    x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt)
-    x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat, gate=gate)
+    x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+                                structure=structure)
+    x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat, gate=gate,
+                                  structure=structure)
     return (x, P)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
@@ -169,16 +202,21 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
-                     'tile_b', 'interpret'))
+                     'tile_b', 'interpret', 'structure'))
 def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
                       q_diag, r_mat, gate: bool = False, t_chunk: int = 128,
-                      tile_b: int = 1024, interpret: bool = False):
+                      tile_b: int = 1024, interpret: bool = False,
+                      structure=None):
   """T fused predict+update steps of ANY scatter-free spec, VMEM-resident.
 
   Args mirror pallas_live.live_bank_scan with generic dims: x_packed
   (dim_x, 8, B/8), P_packed (de, de, 8, B/8), zs_packed (T, dz, 8, B/8),
   q_diag static tuple of de diagonal process-noise scalars, r_mat static
-  (dz, dz) nested tuple.
+  (dz, dz) nested tuple. Pass `structure` (ops/sparsity.detect_structure)
+  to unroll only the structurally nonzero Jacobian entries — the automated
+  equivalent of the hand-derived flagship kernel's sparsity
+  (ops/live_lane.py), typically several-fold fewer FLOPs for models whose
+  F/H are block-sparse.
   """
   T = zs_packed.shape[0]
   dx, de, dz = spec.dim_x, spec.dim_err, spec.obs[kind].dz
@@ -193,7 +231,8 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
   n_b, n_t = B // tile_b, T // t_chunk
 
   kernel = functools.partial(_kernel, spec=spec, kind=kind, t_chunk=t_chunk,
-                             q_diag=q_diag, r_mat=r_mat, gate=gate)
+                             q_diag=q_diag, r_mat=r_mat, gate=gate,
+                             structure=structure)
 
   return pl.pallas_call(
       kernel,

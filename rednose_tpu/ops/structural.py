@@ -1,0 +1,394 @@
+"""Structural partial evaluation of Jacobian-column taps.
+
+The reference's codegen gets sparse, simplified Jacobians for free: sympy
+derives each F/H entry symbolically, evaluates at the zero error state,
+and structural zeros/identities vanish from the emitted C
+(rednose/helpers/ekf_sym.py:76-89). This module is the autodiff
+equivalent: it interprets the jaxpr of `jvp(fn)` at scalar granularity
+with the evaluation point v = 0 known STRUCTURALLY — sin(0) folds to a
+literal 0, cos(0) to 1, multiply-by-zero vanishes, multiply-by-one passes
+through — so each Jacobian column emits only its minimal nonzero scalar
+arithmetic. For live_kf's error dynamics this reproduces what
+ops/live_lane.py derives by hand (rotation-at-zero-error = identity,
+derivative = skew), from the user's unmodified jnp model code.
+
+Why it matters: tracing plain jacfwd/jvp taps inside a Pallas kernel
+emits the full dead multiply-by-zero pipeline (thousands of ops), which
+times out / OOMs the Mosaic compiler. Structural taps emit tens of ops
+per column.
+
+Mechanics: every interpreter value is a small numpy object-array whose
+elements are None (structural zero), python numbers (folded constants),
+lazy references into traced arrays (sliced out only when used), or traced
+JAX scalars. Emission is memoized across taps, so shared primal
+subexpressions trace once. Unrecognized primitives fall back to
+materializing operands and binding the real primitive — correctness is
+never lost, only sparsity. Shapes are per-filter logical shapes; bank
+dims are added outside by vmap.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.extend.core import Literal
+
+
+class _LazyArray:
+  """Scalar elements of a traced array, sliced out (and cached) on use."""
+
+  __slots__ = ("arr", "cache")
+
+  def __init__(self, arr):
+    self.arr = arr
+    self.cache = {}
+
+  def element(self, idx):
+    if idx not in self.cache:
+      self.cache[idx] = self.arr[idx]
+    return self.cache[idx]
+
+
+class _Elem:
+  """Lazy reference to one element of a _LazyArray."""
+
+  __slots__ = ("la", "idx")
+
+  def __init__(self, la, idx):
+    self.la = la
+    self.idx = idx
+
+  def resolve(self):
+    return self.la.element(self.idx)
+
+  def key(self):
+    return (id(self.la), self.idx)
+
+
+def _key(x):
+  if x is None or isinstance(x, (int, float)):
+    return x
+  if isinstance(x, _Elem):
+    return x.key()
+  return id(x)
+
+
+# f(0) = 0 elementwise primitives (safe to fold None -> None)
+_ZERO_PRESERVING = frozenset({
+    "sin", "tan", "tanh", "sinh", "asin", "atan", "asinh", "atanh",
+    "expm1", "log1p", "abs", "sign", "neg", "sqrt", "cbrt", "erf",
+    "real", "imag", "round", "floor", "ceil",
+})
+# f(0) = 1 elementwise primitives
+_ONE_AT_ZERO = frozenset({"cos", "cosh", "exp"})
+
+
+class _Interp:
+  """Zero-propagating jaxpr interpreter with memoized scalar emission."""
+
+  def __init__(self, zero):
+    self.zero = zero   # traced scalar 0.0 used when materializing
+    self.lazy = {}     # id(traced array) -> _LazyArray
+    self.memo = {}     # (op, operand keys...) -> emitted scalar
+
+  # ---------------------------------------------------------- scalar rules
+
+  def _emit(self, opname, fn, *xs):
+    key = (opname,) + tuple(_key(x) for x in xs)
+    if key not in self.memo:
+      self.memo[key] = fn(*[x.resolve() if isinstance(x, _Elem) else x
+                            for x in xs])
+    return self.memo[key]
+
+  def s_mul(self, x, y):
+    if x is None or y is None:
+      return None
+    if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+      return x * y
+    for lit, other in ((x, y), (y, x)):
+      if isinstance(lit, (int, float)):
+        if lit == 1.0:
+          return other
+        if lit == -1.0:
+          return self.s_neg(other)
+    return self._emit("mul", lambda a, b: a * b, x, y)
+
+  def s_add(self, x, y):
+    if x is None:
+      return y
+    if y is None:
+      return x
+    if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+      return x + y
+    return self._emit("add", lambda a, b: a + b, x, y)
+
+  def s_sub(self, x, y):
+    if y is None:
+      return x
+    if x is None:
+      return self.s_neg(y)
+    if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+      return x - y
+    return self._emit("sub", lambda a, b: a - b, x, y)
+
+  def s_neg(self, x):
+    if x is None:
+      return None
+    if isinstance(x, (int, float)):
+      return -x
+    return self._emit("neg", lambda a: -a, x)
+
+  def s_div(self, x, y):
+    if x is None:
+      return None
+    if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+      return x / y
+    return self._emit("div", lambda a, b: a / b, x, y)
+
+  def s_unary(self, name, x, jfn):
+    if x is None:
+      if name in _ZERO_PRESERVING:
+        return None
+      if name in _ONE_AT_ZERO:
+        return 1.0
+      x = 0.0
+    return self._emit(name, jfn, x)
+
+  # ------------------------------------------------------------- conversion
+
+  def to_obj(self, v):
+    if isinstance(v, np.ndarray) and v.dtype == object:
+      return v
+    if isinstance(v, (int, float, np.ndarray, np.number)) or (
+        hasattr(v, "dtype") and not hasattr(v, "aval")
+        and isinstance(v, np.ndarray)):
+      arr = np.asarray(v)
+      out = np.empty(arr.shape, dtype=object)
+      for idx in np.ndindex(arr.shape):
+        x = arr[idx].item()
+        out[idx] = None if x == 0.0 else x
+      return out
+    la = self.lazy.get(id(v))
+    if la is None or la.arr is not v:
+      la = _LazyArray(v)
+      self.lazy[id(v)] = la
+    shape = np.shape(v)
+    out = np.empty(shape, dtype=object)
+    if not shape:
+      out[()] = _Elem(la, ())
+    else:
+      for idx in np.ndindex(shape):
+        out[idx] = _Elem(la, idx)
+    return out
+
+  def materialize(self, obj):
+    def conc(e):
+      if e is None:
+        return self.zero
+      if isinstance(e, (int, float)):
+        return self.zero + e if e != 0.0 else self.zero
+      if isinstance(e, _Elem):
+        return e.resolve()
+      return e
+
+    if obj.ndim == 0:
+      return jnp.asarray(conc(obj[()]))
+    out = jnp.stack([jnp.asarray(conc(e)) for e in obj.ravel()])
+    return out.reshape(obj.shape) if obj.ndim > 1 else out
+
+  # ------------------------------------------------------------ array rules
+
+  def ew2(self, a, b, rule):
+    shape = np.broadcast_shapes(a.shape, b.shape)
+    a = np.broadcast_to(a, shape)
+    b = np.broadcast_to(b, shape)
+    out = np.empty(shape, dtype=object)
+    for idx in np.ndindex(shape):
+      out[idx] = rule(a[idx], b[idx])
+    return out
+
+  def ew1(self, obj, fn):
+    out = np.empty(obj.shape, dtype=object)
+    for idx in np.ndindex(obj.shape):
+      out[idx] = fn(obj[idx])
+    return out
+
+  def dot(self, a, b, dimension_numbers):
+    (lc, rc), (lb, rb) = dimension_numbers
+    lc, rc, lb, rb = map(tuple, (lc, rc, lb, rb))
+    l_free = [i for i in range(a.ndim) if i not in lc + lb]
+    r_free = [i for i in range(b.ndim) if i not in rc + rb]
+    out_shape = tuple([a.shape[d] for d in lb]
+                      + [a.shape[d] for d in l_free]
+                      + [b.shape[d] for d in r_free])
+    out = np.empty(out_shape, dtype=object)
+    for bidx in itertools.product(*[range(a.shape[d]) for d in lb]):
+      for fidx in itertools.product(*[range(a.shape[d]) for d in l_free]):
+        for gidx in itertools.product(*[range(b.shape[d]) for d in r_free]):
+          acc = None
+          for cidx in itertools.product(*[range(a.shape[d]) for d in lc]):
+            ai = [0] * a.ndim
+            bi = [0] * b.ndim
+            for d, v in zip(lb, bidx):
+              ai[d] = v
+            for d, v in zip(l_free, fidx):
+              ai[d] = v
+            for d, v in zip(lc, cidx):
+              ai[d] = v
+            for d, v in zip(rb, bidx):
+              bi[d] = v
+            for d, v in zip(r_free, gidx):
+              bi[d] = v
+            for d, v in zip(rc, cidx):
+              bi[d] = v
+            acc = self.s_add(acc, self.s_mul(a[tuple(ai)], b[tuple(bi)]))
+          out[bidx + fidx + gidx] = acc
+    return out
+
+  def reduce_sum(self, obj, axes):
+    axes = tuple(axes)
+    out_shape = tuple(s for i, s in enumerate(obj.shape) if i not in axes)
+    out = np.empty(out_shape, dtype=object)
+    for oidx in np.ndindex(out_shape):
+      it = iter(oidx)
+      base = [next(it) if i not in axes else 0 for i in range(obj.ndim)]
+      acc = None
+      for ridx in itertools.product(*[range(obj.shape[a]) for a in axes]):
+        idx = list(base)
+        for a, v in zip(axes, ridx):
+          idx[a] = v
+        acc = self.s_add(acc, obj[tuple(idx)])
+      out[oidx] = acc
+    return out
+
+  # ------------------------------------------------------------ interpreter
+
+  def run(self, jaxpr, consts, *args):
+    env = {}
+
+    def read(v):
+      if isinstance(v, Literal):
+        return self.to_obj(v.val)
+      return env[v]
+
+    for var, c in zip(jaxpr.constvars, consts):
+      env[var] = c if (isinstance(c, np.ndarray) and c.dtype == object) \
+          else self.to_obj(c)
+    for var, a in zip(jaxpr.invars, args):
+      env[var] = a if (isinstance(a, np.ndarray) and a.dtype == object) \
+          else self.to_obj(a)
+
+    for eqn in jaxpr.eqns:
+      name = eqn.primitive.name
+      invals = [read(v) for v in eqn.invars]
+      p = eqn.params
+      if name == "mul":
+        outs = [self.ew2(invals[0], invals[1], self.s_mul)]
+      elif name in ("add", "add_any"):
+        outs = [self.ew2(invals[0], invals[1], self.s_add)]
+      elif name == "sub":
+        outs = [self.ew2(invals[0], invals[1], self.s_sub)]
+      elif name == "div":
+        outs = [self.ew2(invals[0], invals[1], self.s_div)]
+      elif name == "neg":
+        outs = [self.ew1(invals[0], self.s_neg)]
+      elif name in _ZERO_PRESERVING or name in _ONE_AT_ZERO:
+        prim = eqn.primitive
+        outs = [self.ew1(
+            invals[0],
+            lambda x: self.s_unary(name, x,
+                                   lambda a: prim.bind(a, **p)))]
+      elif name == "integer_pow":
+        y = p["y"]
+        outs = [self.ew1(
+            invals[0],
+            lambda x: (None if (x is None and y > 0) else
+                       x ** y if isinstance(x, (int, float)) else
+                       self._emit(f"ipow{y}",
+                                  lambda a: eqn.primitive.bind(a, **p),
+                                  0.0 if x is None else x)))]
+      elif name == "slice":
+        sl = tuple(slice(b, e, s) for b, e, s in zip(
+            p["start_indices"], p["limit_indices"],
+            p["strides"] or (1,) * len(p["start_indices"])))
+        outs = [invals[0][sl]]
+      elif name == "squeeze":
+        outs = [np.squeeze(invals[0], axis=tuple(p["dimensions"]))]
+      elif name == "reshape":
+        outs = [np.reshape(invals[0], tuple(p["new_sizes"]))]
+      elif name == "transpose":
+        outs = [np.transpose(invals[0], tuple(p["permutation"]))]
+      elif name == "concatenate":
+        outs = [np.concatenate(invals, axis=p["dimension"])]
+      elif name == "broadcast_in_dim":
+        obj = invals[0]
+        shape = tuple(p["shape"])
+        bdims = tuple(p["broadcast_dimensions"])
+        out = np.empty(shape, dtype=object)
+        for idx in np.ndindex(shape):
+          src = tuple(idx[d] if obj.shape[i] != 1 else 0
+                      for i, d in enumerate(bdims))
+          out[idx] = obj[src]
+        outs = [out]
+      elif name == "dot_general":
+        outs = [self.dot(invals[0], invals[1], p["dimension_numbers"])]
+      elif name == "reduce_sum":
+        outs = [self.reduce_sum(invals[0], p["axes"])]
+      elif name == "convert_element_type":
+        outs = [invals[0]]
+      elif name == "expand_dims":
+        outs = [np.expand_dims(invals[0], tuple(p["dimensions"]))]
+      elif name in ("pjit", "closed_call", "core_call", "custom_jvp_call",
+                    "custom_vjp_call", "remat", "checkpoint"):
+        inner = None
+        for key in ("jaxpr", "call_jaxpr"):
+          if key in p:
+            inner = p[key]
+            break
+        if hasattr(inner, "jaxpr"):
+          outs = self.run(inner.jaxpr, list(inner.consts), *invals)
+        else:
+          outs = self.run(inner, [], *invals)
+      else:
+        # correctness fallback: materialize operands, bind the real op
+        mats = [self.materialize(v) for v in invals]
+        res = eqn.primitive.bind(*mats, **p)
+        if not eqn.primitive.multiple_results:
+          res = [res]
+        outs = [self.to_obj(r) for r in res]
+      for var, o in zip(eqn.outvars, outs):
+        env[var] = o
+    return [read(v) for v in jaxpr.outvars]
+
+
+def jvp_taps(fn, n: int, dtype, cols, zero):
+  """Primal fn(0) and Jacobian columns [d fn/d v |_0 @ e_k for k in cols],
+  partially evaluated with v = 0 known structurally.
+
+  fn: vector (n,) -> vector; typically closes over traced state x.
+  zero: a traced scalar 0.0 DERIVED FROM AN INPUT (jnp constants are
+  rejected as captured constants inside Pallas kernels).
+  Returns (primal (m,), [columns (m,)]).
+  """
+  sds = jax.ShapeDtypeStruct((n,), dtype)
+  closed = jax.make_jaxpr(lambda v, t: jax.jvp(fn, (v,), (t,)))(sds, sds)
+  interp = _Interp(zero)
+  consts = [interp.to_obj(c) for c in closed.consts]
+  zvec = np.empty((n,), dtype=object)
+  zvec[:] = None
+
+  primal_obj = None
+  cols_out = []
+  for k in cols:
+    onehot = np.empty((n,), dtype=object)
+    onehot[:] = None
+    onehot[k] = 1.0
+    primal_obj, tangent = interp.run(closed.jaxpr, consts, zvec, onehot)
+    cols_out.append(interp.materialize(tangent))
+  if primal_obj is None:  # no columns requested: still need the primal
+    primal_obj, _ = interp.run(closed.jaxpr, consts, zvec, zvec)
+  return interp.materialize(primal_obj), cols_out
