@@ -232,3 +232,86 @@ def test_compat_global_vars_and_extra_routines():
   np.testing.assert_allclose(eng.state()[0], 1.0, atol=1e-3)
   fn = eng.get_extra_routine('double_vel')
   np.testing.assert_allclose(np.asarray(fn(np.array([0.0, 3.0]))), [6.0])
+
+
+def test_compat_msckf_matches_jnp_engine():
+  """msckf_params + feature-kind obs_eqs (ea_sym, He nullspace) through the
+  compat path: the sympy-restated MSCKF VO model must track the jnp model
+  engine-for-engine through position updates, a feature update, and
+  augmentation — the reference's dual-engine test_compare pattern."""
+  from rednose_tpu.models import msckf_vo as mv
+
+  N, DM, DA = mv.N_AUGMENT, mv.DIM_MAIN, mv.DIM_AUG
+  DIM = mv.DIM_X
+  xs = sp.symbols('mx0:%d' % DIM)
+  x = sp.Matrix(xs)
+  dt = sp.Symbol('dt')
+  f_sym = x.copy()
+  f_sym[0:3, 0] = x[0:3, 0] + dt * x[3:6, 0]
+
+  ea = sp.MatrixSymbol('ea', 3, 1)
+  eam = sp.Matrix(ea)
+  rows = []
+  for a in range(N):
+    cp = x[DM + DA * a: DM + DA * (a + 1), 0]
+    d = eam - cp
+    rows += [d[0] / d[2], d[1] / d[2]]
+  h_feat = sp.Matrix(rows)
+
+  obs_eqs = [
+      [sp.Matrix(x[0:3, 0]), mv.ObservationKind.POSITION, None],
+      [h_feat, mv.ObservationKind.MSCKF_TEST, ea],
+  ]
+  spec_sym = compat.gen_code(
+      None, 'msckf_compat', f_sym, dt, xs, obs_eqs, DIM, DIM,
+      msckf_params=(DM, DA, DM, DA, N, [mv.ObservationKind.MSCKF_TEST]),
+      maha_test_kinds=[mv.ObservationKind.MSCKF_TEST])
+  assert (spec_sym.dim_main, spec_sym.dim_augment, spec_sym.n_augment) == \
+      (DM, DA, N)
+  assert spec_sym.obs[mv.ObservationKind.MSCKF_TEST].ea_dim == 3
+  assert spec_sym.obs[mv.ObservationKind.MSCKF_TEST].maha_test
+
+  from rednose_tpu.runtime.driver import FilterEngine
+
+  eng_sym = compat.EKF_sym(
+      None, 'msckf_compat', mv.MSCKFVisualOdometry.Q,
+      mv.MSCKFVisualOdometry.initial_x,
+      np.diag(mv.MSCKFVisualOdometry.initial_P_diag), DM, DM,
+      N=N, dim_augment=DA, dim_augment_err=DA)
+  eng_jnp = FilterEngine(
+      mv.MSCKFVisualOdometry.build_spec(), mv.MSCKFVisualOdometry.Q,
+      mv.MSCKFVisualOdometry.initial_x,
+      np.diag(mv.MSCKFVisualOdometry.initial_P_diag))
+
+  rng = np.random.RandomState(3)
+  R_pos = mv.MSCKFVisualOdometry.obs_noise[mv.ObservationKind.POSITION]
+  R_feat = mv.MSCKFVisualOdometry.obs_noise[mv.ObservationKind.MSCKF_TEST]
+  t = 0.0
+  for i in range(6):
+    t += 0.1
+    z = rng.randn(3) * 0.1
+    for eng in (eng_sym, eng_jnp):
+      eng.predict_and_update_batch(t, mv.ObservationKind.POSITION,
+                                   [z], R_pos[None], augment=True)
+    np.testing.assert_allclose(eng_sym.state(), eng_jnp.state(),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(eng_sym.covs(), eng_jnp.covs(),
+                               rtol=1e-8, atol=1e-12)
+
+  # one nullspace-projected feature update on both engines
+  feat = np.array([0.5, -0.3, 8.0])
+  zf = []
+  x_now = eng_jnp.state()
+  for a in range(N):
+    cp = x_now[DM + DA * a: DM + DA * (a + 1)]
+    d = feat - cp
+    zf += [d[0] / d[2], d[1] / d[2]]
+  zf = np.asarray(zf) + 1e-3 * rng.randn(2 * N)
+  t += 0.1
+  for eng in (eng_sym, eng_jnp):
+    eng.predict_and_update_batch(t, mv.ObservationKind.MSCKF_TEST,
+                                 [zf], R_feat[None], extra_args=[feat])
+  np.testing.assert_allclose(eng_sym.state(), eng_jnp.state(),
+                             rtol=1e-9, atol=1e-12)
+  np.testing.assert_allclose(eng_sym.covs(), eng_jnp.covs(),
+                             rtol=1e-8, atol=1e-12)
