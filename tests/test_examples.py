@@ -12,7 +12,8 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 @pytest.mark.parametrize("script", ["run_kinematic.py", "run_live.py",
                                     "run_bank.py", "run_msckf.py",
                                     "run_mixed_bank.py",
-                                    "run_vo_pipeline.py"])
+                                    "run_vo_pipeline.py",
+                                    "run_compat_migration.py"])
 def test_example_runs(script, monkeypatch, capsys):
   monkeypatch.delenv("PLOT", raising=False)
   sys.path.insert(0, str(EXAMPLES))
