@@ -146,7 +146,13 @@ def bench_generic():
   """Generic VMEM-resident kernel (ops/pallas_bank.py) on the UNMODIFIED
   live spec — no hand-derivation. BENCH_GENERIC_PATH=sparse (default) uses
   auto-detected structural sparsity (ops/sparsity.py: masked F P F^T +
-  composed-H columns via jvp); =dense runs the dense jacfwd products."""
+  composed-H columns via jvp); =dense runs the dense jacfwd products.
+
+  KNOWN LIMIT (see PARITY.md): the live spec's in-kernel trace currently
+  exceeds the remote Mosaic compile helper's memory (SIGKILL after ~10 min)
+  even on the sparse path; this config is the tracking benchmark for that
+  frontier, not a working number. Live-scale production banks use
+  BENCH_MODEL=live (the hand-derived kernel, ~150M steps/s)."""
   import jax
   import jax.numpy as jnp
 
