@@ -145,3 +145,56 @@ def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
       out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
       check_vma=False,
   )(x_packed, P_packed, zs_packed, dts)
+
+
+# ------------------------------------------------------- multi-slice (DCN)
+
+SLICE_AXIS = 'slice'
+
+
+def make_multislice_mesh(n_slices: int, devices=None) -> Mesh:
+  """2-D ('slice', 'bank') mesh for multi-slice deployments: the 'bank'
+  axis spans the chips *within* a slice (ICI), the 'slice' axis spans
+  slices (DCN). The filter bank shards over BOTH axes (it is
+  embarrassingly parallel, so placement is free); the axis split exists so
+  collectives can be staged hierarchically — reduce within the slice over
+  ICI first, then move one scalar per slice over DCN
+  (multislice_bank_rmse)."""
+  import numpy as np
+
+  if devices is None:
+    devices = jax.devices()
+  devices = np.asarray(devices)
+  assert devices.size % n_slices == 0, (devices.size, n_slices)
+  return Mesh(devices.reshape(n_slices, -1), (SLICE_AXIS, BANK_AXIS))
+
+
+def multislice_sharding(mesh: Mesh) -> NamedSharding:
+  """Bank leading axis folded over (slice, bank): B/(n_slices*n_ici) rows
+  per chip."""
+  return NamedSharding(mesh, P((SLICE_AXIS, BANK_AXIS)))
+
+
+def multislice_bank_rmse(mesh: Mesh, state: bank_ops.BankState,
+                         truth: Array) -> Array:
+  """Bank-wide RMSE on a multi-slice mesh with hierarchical collectives:
+  psum over the intra-slice 'bank' axis first (partial sums ride ICI),
+  then psum of ONE scalar per slice over the 'slice' axis — the only DCN
+  traffic in the whole workload. Same result as sharded_bank_rmse; the
+  staging is the point (DCN bandwidth is ~10x below ICI, so cross-slice
+  bytes are minimized by construction)."""
+  truth = jnp.asarray(truth, dtype=state.x.dtype)
+
+  def local(x_shard):
+    sq = jnp.sum((x_shard - truth) ** 2)
+    n = jnp.asarray(x_shard.size, dtype=x_shard.dtype)
+    sq_ici = jax.lax.psum(sq, BANK_AXIS)      # intra-slice, rides ICI
+    n_ici = jax.lax.psum(n, BANK_AXIS)
+    sq_all = jax.lax.psum(sq_ici, SLICE_AXIS)  # one scalar over DCN
+    n_all = jax.lax.psum(n_ici, SLICE_AXIS)
+    return (sq_all / n_all)[None, None]
+
+  out = jax.shard_map(
+      local, mesh=mesh, in_specs=P((SLICE_AXIS, BANK_AXIS)),
+      out_specs=P(SLICE_AXIS, BANK_AXIS))(state.x)
+  return jnp.sqrt(out[0, 0])

@@ -130,3 +130,35 @@ def test_sharded_fused_live_kernel_matches_unsharded():
   xu, Pu = pallas_live.unpack_live_state(xo, Po)
   np.testing.assert_array_equal(np.asarray(xu), np.asarray(x_ref))
   np.testing.assert_array_equal(np.asarray(Pu), np.asarray(P_ref))
+
+
+def test_multislice_hierarchical_rmse():
+  """2-D (slice, bank) mesh: sharded run + hierarchically-staged psum
+  (ICI within the slice, one scalar over DCN) matches the flat-mesh and
+  unsharded results exactly."""
+  spec, state, Q, dts, zs, Rs = _workload()
+  mesh2 = shard_ops.make_multislice_mesh(n_slices=2)
+  assert mesh2.shape == {'slice': 2, 'bank': 4}
+
+  sh = shard_ops.multislice_sharding(mesh2)
+  state2 = jax.tree.map(lambda a: jax.device_put(a, sh), state)
+  final2, _ = bank_ops.jit_run_bank(spec, ObservationKind.POSITION)(
+      {}, state2, Q, dts,
+      jax.device_put(zs, jax.NamedSharding(
+          mesh2, jax.sharding.PartitionSpec(
+              None, (shard_ops.SLICE_AXIS, shard_ops.BANK_AXIS)))),
+      Rs, None)
+
+  final_ref, _ = bank_ops.jit_run_bank(spec, ObservationKind.POSITION)(
+      {}, state, Q, dts, zs, Rs, None)
+  np.testing.assert_allclose(np.asarray(final2.x), np.asarray(final_ref.x),
+                             rtol=0, atol=1e-12)
+
+  truth = np.zeros(spec.dim_x)
+  r2 = shard_ops.multislice_bank_rmse(mesh2, final2, truth)
+  r_flat = shard_ops.sharded_bank_rmse(
+      shard_ops.make_bank_mesh(),
+      jax.tree.map(lambda a: np.asarray(a), final_ref), truth)
+  r_host = np.sqrt(np.mean(np.asarray(final_ref.x) ** 2))
+  np.testing.assert_allclose(float(r2), r_host, rtol=1e-12)
+  np.testing.assert_allclose(float(r_flat), r_host, rtol=1e-12)
