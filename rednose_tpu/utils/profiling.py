@@ -55,3 +55,21 @@ def finite_or_nan_flag(tree):
   for leaf in leaves:
     ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
   return ok
+
+
+def cost_report(fn, *args, **kwargs):
+  """Compile fn for the given args and return XLA's cost analysis
+  ({'flops': ..., 'bytes accessed': ..., ...}) — per-kernel cost
+  reporting for roofline checks (used to validate the FLOP counts quoted
+  in PARITY.md). Returns {} if the backend exposes no analysis."""
+  compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+  try:
+    analysis = compiled.cost_analysis()
+  except Exception:
+    return {}
+  if analysis is None:
+    return {}
+  # jax returns either a dict or a single-element list of dicts by version
+  if isinstance(analysis, (list, tuple)):
+    analysis = analysis[0] if analysis else {}
+  return dict(analysis)

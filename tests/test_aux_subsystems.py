@@ -125,3 +125,19 @@ def test_extra_routines():
   assert float(fn(jnp.asarray([3.0, 1.0]))) == 6.0
   with pytest.raises(KeyError):
     eng.get_extra_routine('nope')
+
+
+def test_cost_report():
+  """cost_report exposes XLA's compiled cost analysis (flops/bytes) for
+  roofline checks."""
+  import jax.numpy as jnp
+
+  from rednose_tpu.core import step as step_ops
+  from rednose_tpu.models.kinematic import KinematicKalman
+  from rednose_tpu.utils.profiling import cost_report
+
+  spec = KinematicKalman.build_spec()
+  rep = cost_report(
+      lambda x, P, Q, dt: step_ops.predict(spec, {}, x, P, Q, dt),
+      jnp.zeros(2), jnp.eye(2), jnp.eye(2), jnp.asarray(0.01))
+  assert rep.get('flops', 0) > 0
