@@ -71,22 +71,34 @@ def sharded_run_bank(spec: FilterSpec, kind: int, mesh: Mesh, params,
   return fn(params, state, Q, dts, zs, Rs, eas)
 
 
-def sharded_bank_rmse(mesh: Mesh, state: bank_ops.BankState,
-                      truth: Array) -> Array:
-  """Bank-wide RMSE as an explicit ICI collective: per-shard partial sums
-  combined with psum inside shard_map (SURVEY.md §2.5 item 2)."""
+def _staged_bank_rmse(mesh: Mesh, state: bank_ops.BankState, truth: Array,
+                      axes, in_spec, out_spec) -> Array:
+  """Shared RMSE body: per-shard squared-error partials reduced with psum
+  over `axes` in order (so callers stage cheap-link reductions first). One
+  definition of "bank RMSE" for every mesh topology."""
   truth = jnp.asarray(truth, dtype=state.x.dtype)
 
   def local(x_shard):
     sq = jnp.sum((x_shard - truth) ** 2)
     n = jnp.asarray(x_shard.size, dtype=x_shard.dtype)
-    total_sq = jax.lax.psum(sq, BANK_AXIS)
-    total_n = jax.lax.psum(n, BANK_AXIS)
-    return (total_sq / total_n)[None]
+    for ax in axes:
+      sq = jax.lax.psum(sq, ax)
+      n = jax.lax.psum(n, ax)
+    return jnp.reshape(sq / n, (1,) * len(out_spec))
 
   out = jax.shard_map(
-      local, mesh=mesh, in_specs=P(BANK_AXIS), out_specs=P(BANK_AXIS))(state.x)
-  return jnp.sqrt(out[0])
+      local, mesh=mesh, in_specs=in_spec, out_specs=out_spec)(state.x)
+  # the mean is replicated across shards (psum'd over every mesh axis):
+  # any element is the answer
+  return jnp.sqrt(out.reshape(-1)[0])
+
+
+def sharded_bank_rmse(mesh: Mesh, state: bank_ops.BankState,
+                      truth: Array) -> Array:
+  """Bank-wide RMSE as an explicit ICI collective: per-shard partial sums
+  combined with psum inside shard_map (SURVEY.md §2.5 item 2)."""
+  return _staged_bank_rmse(mesh, state, truth, (BANK_AXIS,),
+                           P(BANK_AXIS), P(BANK_AXIS))
 
 
 @functools.lru_cache(maxsize=None)
@@ -159,14 +171,27 @@ def make_multislice_mesh(n_slices: int, devices=None) -> Mesh:
   embarrassingly parallel, so placement is free); the axis split exists so
   collectives can be staged hierarchically — reduce within the slice over
   ICI first, then move one scalar per slice over DCN
-  (multislice_bank_rmse)."""
+  (multislice_bank_rmse).
+
+  Devices are grouped by their real `slice_index` when the backend reports
+  one (jax.devices() ordering is NOT guaranteed slice-contiguous; a naive
+  reshape could put both slices in one mesh row and silently push the
+  "ICI" psum onto DCN); virtual/CPU devices fall back to a plain reshape.
+  """
   import numpy as np
 
   if devices is None:
     devices = jax.devices()
-  devices = np.asarray(devices)
-  assert devices.size % n_slices == 0, (devices.size, n_slices)
-  return Mesh(devices.reshape(n_slices, -1), (SLICE_AXIS, BANK_AXIS))
+  devices = list(devices)
+  assert len(devices) % n_slices == 0, (len(devices), n_slices)
+  slice_ids = [getattr(d, "slice_index", None) for d in devices]
+  if all(s is not None for s in slice_ids) and len(set(slice_ids)) == n_slices:
+    devices = sorted(devices, key=lambda d: (d.slice_index, d.id))
+  arr = np.asarray(devices).reshape(n_slices, -1)
+  for row in arr:  # every mesh row must stay within one slice
+    ids = {getattr(d, "slice_index", None) for d in row}
+    assert len(ids) == 1, f"mesh row spans slices {ids}"
+  return Mesh(arr, (SLICE_AXIS, BANK_AXIS))
 
 
 def multislice_sharding(mesh: Mesh) -> NamedSharding:
@@ -183,18 +208,6 @@ def multislice_bank_rmse(mesh: Mesh, state: bank_ops.BankState,
   traffic in the whole workload. Same result as sharded_bank_rmse; the
   staging is the point (DCN bandwidth is ~10x below ICI, so cross-slice
   bytes are minimized by construction)."""
-  truth = jnp.asarray(truth, dtype=state.x.dtype)
-
-  def local(x_shard):
-    sq = jnp.sum((x_shard - truth) ** 2)
-    n = jnp.asarray(x_shard.size, dtype=x_shard.dtype)
-    sq_ici = jax.lax.psum(sq, BANK_AXIS)      # intra-slice, rides ICI
-    n_ici = jax.lax.psum(n, BANK_AXIS)
-    sq_all = jax.lax.psum(sq_ici, SLICE_AXIS)  # one scalar over DCN
-    n_all = jax.lax.psum(n_ici, SLICE_AXIS)
-    return (sq_all / n_all)[None, None]
-
-  out = jax.shard_map(
-      local, mesh=mesh, in_specs=P((SLICE_AXIS, BANK_AXIS)),
-      out_specs=P(SLICE_AXIS, BANK_AXIS))(state.x)
-  return jnp.sqrt(out[0, 0])
+  return _staged_bank_rmse(mesh, state, truth, (BANK_AXIS, SLICE_AXIS),
+                           P((SLICE_AXIS, BANK_AXIS)),
+                           P(SLICE_AXIS, BANK_AXIS))

@@ -65,7 +65,7 @@ def cost_report(fn, *args, **kwargs):
   compiled = jax.jit(fn).lower(*args, **kwargs).compile()
   try:
     analysis = compiled.cost_analysis()
-  except Exception:
+  except NotImplementedError:  # backend exposes no analysis
     return {}
   if analysis is None:
     return {}
