@@ -251,8 +251,18 @@ def bench_rts():
       jnp.asarray(LiveKalman.Q, dtype),
       dts, ki, zs, Rs, eas))
 
-  def timed(fn):
-    f = jax.jit(lambda *a: jnp.sum(fn(*a)[0]))
+  def timed(fn, chain_n):
+    # chain n independent applications inside one jit so the ~28 ms relay
+    # round trip amortizes (CLAUDE.md scalar-sync rule); the tiny input
+    # perturbation defeats CSE between the chained calls
+    def chained(p, xp, Pp, xf, Pf, t):
+      s = jnp.asarray(0.0, dtype)
+      for i in range(chain_n):
+        r = fn(p, xp, Pp, xf + (1e-6 * i), Pf, t)
+        s = s + jnp.sum(r[0]) + jnp.sum(r[1])
+      return s
+
+    f = jax.jit(chained)
     args = ({}, x_pred, P_pred, x_post, P_post, ts)
     float(f(*args))
     times = []
@@ -260,11 +270,13 @@ def bench_rts():
       t0 = time.perf_counter()
       float(f(*args))
       times.append(time.perf_counter() - t0)
-    return min(times)
+    return min(times) / chain_n
 
-  t_seq = timed(lambda p, *a: rts.rts_smooth(spec, p, *a, norm_quats=True))
+  t_seq = timed(lambda p, *a: rts.rts_smooth(spec, p, *a, norm_quats=True),
+                chain_n=1)  # 350 ms >> RTT: no chaining needed
   t_par = timed(
-      lambda p, *a: rts.rts_smooth_parallel(spec, p, *a, norm_quats=True))
+      lambda p, *a: rts.rts_smooth_parallel(spec, p, *a, norm_quats=True),
+      chain_n=4)
   log(f"rts T={T}: sequential {t_seq*1e3:.1f} ms, parallel {t_par*1e3:.1f} ms"
       f" ({t_seq/t_par:.1f}x)")
   print(json.dumps({

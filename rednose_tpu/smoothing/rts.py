@@ -108,10 +108,11 @@ def _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
   return x_smooth, P_smooth
 
 
-def _affine_combine(a, b):
-  """Associative combine for the backward affine recurrence.
+def _affine_combine_lane(a, b):
+  """Associative combine for the backward affine recurrence, lane-major.
 
-  Elements are (A, b, V) representing the affine map
+  Elements are (A (d, d, K), b (d, K), V (d, d, K)) representing the
+  affine map
     e_out = A·e_in + b          (mean correction)
     D_out = V + A·D_in·A^T      (covariance correction)
 
@@ -121,12 +122,19 @@ def _affine_combine(a, b):
   and the backward recurrence applies the earlier element outermost
   (e_k = A_k·e_{k+1} + b_k), so `b` wraps `a`:
     e = A_b·(A_a·e + b_a) + b_b
+
+  Lane-major layout (time on vector lanes, matrix dims unrolled) keeps the
+  tiny d×d products on the VPU as broadcast multiply-adds — einsum-style
+  (K, d, d) batched matmuls lower to MXU batch-matmuls that waste >95% of
+  the systolic array at d=22 (measured ~14x slower end-to-end).
   """
-  A_a, b_a, V_a = a
+  from rednose_tpu.ops.lane_bank import _matmul_ll, _matmul_lt
+
+  A_a, b_a, V_a = a  # b carried as (d, 1, K): one shared scan axis
   A_b, b_b, V_b = b
-  A = jnp.einsum('...ij,...jk->...ik', A_b, A_a)
-  b_new = jnp.einsum('...ij,...j->...i', A_b, b_a) + b_b
-  V = V_b + jnp.einsum('...ij,...jk,...lk->...il', A_b, V_a, A_b)
+  A = _matmul_ll(A_b, A_a)
+  b_new = _matmul_ll(A_b, b_a) + b_b
+  V = V_b + _matmul_lt(_matmul_ll(A_b, V_a), A_b)
   return A, b_new, V
 
 
@@ -166,27 +174,32 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
   # lane-major (d2, d2, T) with an unrolled Cholesky solve: batched LAPACK
   # solves serialize on TPU's scalar unit (measured ~6x slower).
   from rednose_tpu.ops.lane_bank import (
-      _matmul_lt, cho_solve_lane, cholesky_lane)
+      _matmul_ll, _matmul_lt, cho_solve_lane, cholesky_lane)
 
   F = jax.vmap(lambda xk, dt: spec.F(params, xk, dt)[:d2, :d2],
                out_axes=2)(x_post[:-1], dts)  # (d2, d2, T-1)
   Pk = jnp.transpose(P_post[:-1, :d2, :d2], (1, 2, 0))
   Pk1 = jnp.transpose(P_pred[1:, :d2, :d2], (1, 2, 0))
   L = cholesky_lane(Pk1)
-  # solve Pk1 X = F Pk^T, then C = X^T
+  # solve Pk1 X = F Pk^T, then C = X^T; keep everything lane-major
+  # (d2, d2, T-1) — see _affine_combine_lane on why
   X = cho_solve_lane(L, _matmul_lt(F, Pk))
-  gains = jnp.transpose(X, (2, 1, 0))  # (T-1, d2, d2), C_k = X_k^T
+  C_l = jnp.swapaxes(X, 0, 1)  # C_k = X_k^T, lane-major
 
-  u = jax.vmap(lambda xp, xf: spec.inv_err(params, xp, xf))(
-      x_pred[1:], x_post[1:])[:, :d2]  # (T-1, d2)
-  b = jnp.einsum('kij,kj->ki', gains, u)
-  dP = P_post[1:, :d2, :d2] - P_pred[1:, :d2, :d2]
-  V = jnp.einsum('kij,kjl,kml->kim', gains, dP, gains)
+  u_l = jax.vmap(lambda xp, xf: spec.inv_err(params, xp, xf),
+                 out_axes=1)(x_pred[1:], x_post[1:])[:d2]  # (d2, T-1)
+  b_l = sum(C_l[:, j] * u_l[j][None] for j in range(d2))[:, None]  # (d2,1,T-1)
+  # P_{k+1|k+1} - P_{k+1|k}, lane-major
+  dP_l = jnp.transpose(P_post[1:, :d2, :d2] - P_pred[1:, :d2, :d2],
+                       (1, 2, 0))
+  V_l = _matmul_lt(_matmul_ll(C_l, dP_l), C_l)
 
-  # Backward associative scan over elements k = 0..T-2.
-  A_acc, e_acc, D_acc = jax.lax.associative_scan(
-      _affine_combine, (gains, b, V), reverse=True)
+  # Backward associative scan over elements k = 0..T-2 (time on lanes).
+  A_acc, e_acc_l, D_acc_l = jax.lax.associative_scan(
+      _affine_combine_lane, (C_l, b_l, V_l), reverse=True, axis=2)
   del A_acc  # only the accumulated affine offset is needed (e_{T-1} = 0)
+  e_acc = e_acc_l[:, 0].T                     # (T-1, d2)
+  D_acc = jnp.transpose(D_acc_l, (2, 0, 1))   # (T-1, d2, d2)
 
   # Inject corrections back into the nominal state.
   def inject(x_k, e_k):
