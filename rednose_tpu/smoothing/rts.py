@@ -138,6 +138,81 @@ def _affine_combine_lane(a, b):
   return A, b_new, V
 
 
+def _suffix_scan_lane(A, b, V, n_lanes: int = 128):
+  """Inclusive suffix combine of the affine elements (A (d,d,T), b (d,1,T),
+  V (d,d,T)) along the time axis: out[k] = x[T-1] ∘ ... ∘ x[k].
+
+  jax.lax.associative_scan slices odd/even elements along the scanned axis
+  at every level; with time on vector lanes those are strided lane gathers
+  (a relayout per level — measured ~25 ms of a 33 ms smoother at T=8192).
+  This chunked formulation keeps every hot slice on a LEADING axis instead:
+
+    1. reshape time into (chunks C on lanes) x (position m within chunk),
+       with m leading — lax.scan over m slices the major axis for free;
+    2. one reverse lax.scan of M steps computes within-chunk suffixes for
+       all C chunks at once (each step combines (d, d, C) slabs on the VPU);
+    3. the C chunk totals get an exclusive suffix combine across lanes
+       (tiny: C=128 elements) via associative_scan + a single lane shift;
+    4. one broadcast combine folds each chunk's outer suffix into its
+       within-chunk results.
+
+  Work is the same O(T) as the Blelloch scan; the strided-lane relayouts
+  are gone. Exact same combine semantics as _affine_combine_lane.
+  """
+  d = A.shape[0]
+  T = A.shape[-1]
+  C = n_lanes
+  M = -(-T // C)
+  pad = M * C - T
+
+  def _pad_id(x, ident):
+    if not pad:
+      return x
+    tail = jnp.broadcast_to(ident[..., None], x.shape[:-1] + (pad,))
+    return jnp.concatenate([x, tail], axis=-1)  # identity at later times
+
+  eye = jnp.eye(d, dtype=A.dtype)
+  A_p = _pad_id(A, eye)
+  b_p = _pad_id(b, jnp.zeros((d, 1), dtype=A.dtype))
+  V_p = _pad_id(V, jnp.zeros((d, d), dtype=A.dtype))
+
+  # t = c*M + m  ->  [m, :, :, c] layout (m leading for free scan slicing)
+  def to_mc(x):
+    r = x.reshape(x.shape[:-1] + (C, M))
+    return jnp.moveaxis(r, -1, 0)
+
+  Am, bm, Vm = to_mc(A_p), to_mc(b_p), to_mc(V_p)
+
+  def step(carry, elem):
+    new = _affine_combine_lane(carry, elem)
+    return new, new
+
+  ident = (jnp.broadcast_to(eye[:, :, None], (d, d, C)),
+           jnp.zeros((d, 1, C), dtype=A.dtype),
+           jnp.zeros((d, d, C), dtype=A.dtype))
+  totals, S1 = jax.lax.scan(step, ident, (Am, bm, Vm), reverse=True)
+
+  # exclusive suffix of the C chunk totals (later chunks = higher c)
+  incl = jax.lax.associative_scan(_affine_combine_lane, totals,
+                                  reverse=True, axis=2)
+  excl = tuple(
+      jnp.concatenate([x[..., 1:], jnp.broadcast_to(i[..., None],
+                                                    x.shape[:-1] + (1,))],
+                      axis=-1)
+      for x, i in zip(incl, (eye, jnp.zeros((d, 1), dtype=A.dtype),
+                             jnp.zeros((d, d), dtype=A.dtype))))
+
+  # outer chunk suffix wraps each within-chunk suffix
+  out_m = jax.vmap(_affine_combine_lane,
+                   in_axes=((None, None, None), (0, 0, 0)))(excl, S1)
+
+  def from_mc(x):
+    r = jnp.moveaxis(x, 0, -1)                 # (..., C, M)
+    return r.reshape(x.shape[1:-1] + (C * M,))[..., :T]
+
+  return tuple(from_mc(x) for x in out_m)
+
+
 def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
                         P_post, t, norm_quats: bool = False, dts=None):
   """Parallel-in-time RTS via associative scan (O(log T) depth).
@@ -194,9 +269,14 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
                        (1, 2, 0))
   V_l = _matmul_lt(_matmul_ll(C_l, dP_l), C_l)
 
-  # Backward associative scan over elements k = 0..T-2 (time on lanes).
-  A_acc, e_acc_l, D_acc_l = jax.lax.associative_scan(
-      _affine_combine_lane, (C_l, b_l, V_l), reverse=True, axis=2)
+  # Backward suffix combine over elements k = 0..T-2 (time on lanes):
+  # chunked two-level scan for long logs (see _suffix_scan_lane), plain
+  # associative scan for short ones (chunking overhead not worth it).
+  if C_l.shape[-1] >= 512:
+    A_acc, e_acc_l, D_acc_l = _suffix_scan_lane(C_l, b_l, V_l)
+  else:
+    A_acc, e_acc_l, D_acc_l = jax.lax.associative_scan(
+        _affine_combine_lane, (C_l, b_l, V_l), reverse=True, axis=2)
   del A_acc  # only the accumulated affine offset is needed (e_{T-1} = 0)
   e_acc = e_acc_l[:, 0].T                     # (T-1, d2)
   D_acc = jnp.transpose(D_acc_l, (2, 0, 1))   # (T-1, d2, d2)

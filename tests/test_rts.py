@@ -129,3 +129,27 @@ def test_bank_smoothing_matches_per_trajectory():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(Ps_bank[b]), np.asarray(Ps),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_chunked_suffix_scan_matches_associative_scan():
+  """_suffix_scan_lane (the layout-aware two-level scan used for long logs)
+  == jax.lax.associative_scan on the same affine elements, including a
+  non-multiple-of-128 length (identity padding)."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.smoothing.rts import _affine_combine_lane, _suffix_scan_lane
+
+  rng = np.random.RandomState(0)
+  d = 5
+  for T in (700, 1024):
+    A = jnp.asarray(0.1 * rng.randn(d, d, T) +
+                    np.eye(d)[:, :, None] * 0.9)
+    b = jnp.asarray(0.1 * rng.randn(d, 1, T))
+    V = jnp.asarray(0.01 * rng.randn(d, d, T))
+    ref = jax.lax.associative_scan(_affine_combine_lane, (A, b, V),
+                                   reverse=True, axis=2)
+    out = _suffix_scan_lane(A, b, V)
+    for r, o in zip(ref, out):
+      np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                 rtol=1e-9, atol=1e-11)
