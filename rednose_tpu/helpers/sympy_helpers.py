@@ -74,31 +74,33 @@ def rot_to_euler(R):
   return sp.Matrix([gamma, theta, psi])
 
 
+def _axis_rot(angle, axis):
+  """Elementary rotation about one coordinate axis: the rotated plane is
+  the cyclic pair of the fixed axis."""
+  c, s = sp.cos(angle), sp.sin(angle)
+  i, j = [(1, 2), (2, 0), (0, 1)][axis]
+  M = sp.eye(3)
+  M[i, i], M[i, j] = c, -s
+  M[j, i], M[j, j] = s, c
+  return M
+
+
 def euler_rotate(roll, pitch, yaw):
   """Symbolic R = Rz(yaw) Ry(pitch) Rx(roll)."""
-  rr = sp.Matrix([[1, 0, 0],
-                  [0, sp.cos(roll), -sp.sin(roll)],
-                  [0, sp.sin(roll), sp.cos(roll)]])
-  rp = sp.Matrix([[sp.cos(pitch), 0, sp.sin(pitch)],
-                  [0, 1, 0],
-                  [-sp.sin(pitch), 0, sp.cos(pitch)]])
-  ry = sp.Matrix([[sp.cos(yaw), -sp.sin(yaw), 0],
-                  [sp.sin(yaw), sp.cos(yaw), 0],
-                  [0, 0, 1]])
-  return ry * rp * rr
+  return _axis_rot(yaw, 2) * _axis_rot(pitch, 1) * _axis_rot(roll, 0)
 
 
 def quat_rotate(q0, q1, q2, q3):
   """Symbolic body->reference rotation matrix from quaternion components
   (the reference's quat_rotate convention: equals ops/quaternion.quat_to_rot,
-  see quat_to_rot's docstring on the transpose bookkeeping)."""
-  return sp.Matrix([
-      [q0**2 + q1**2 - q2**2 - q3**2, 2 * (q1 * q2 - q0 * q3),
-       2 * (q1 * q3 + q0 * q2)],
-      [2 * (q1 * q2 + q0 * q3), q0**2 - q1**2 + q2**2 - q3**2,
-       2 * (q2 * q3 - q0 * q1)],
-      [2 * (q1 * q3 - q0 * q2), 2 * (q2 * q3 + q0 * q1),
-       q0**2 - q1**2 - q2**2 + q3**2]])
+  see quat_to_rot's docstring on the transpose bookkeeping).
+
+  Derived from the product-matrix identity rather than spelled out:
+  v' = q (x) v (x) q*  =>  R = (L(q) R(q*))[1:, 1:]."""
+  q = (q0, q1, q2, q3)
+  conj = (q0, -q1, -q2, -q3)
+  M = sp.expand(quat_matrix_l(q) * quat_matrix_r(conj))
+  return M[1:, 1:]
 
 
 def quat_matrix_l(p):
