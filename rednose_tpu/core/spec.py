@@ -92,6 +92,15 @@ class FilterSpec:
   f_err: Callable | None = None  # error dynamics; F = d f_err / d dx at dx=0
   quaternion_idxs: Sequence[int] = ()
 
+  # Optional closed-form lane-major state-transition Jacobian:
+  # F_lane(params, x_slab (dim_x, *b), dt scalar-or-(*b)) -> (de, de, *b).
+  # Per-step jacfwd of rotation-chain dynamics dominates the generic bank
+  # predict and the smoother-gain pass (measured ~95% of lane predict for
+  # live_kf); a spec that supplies the closed form (the analog of the
+  # reference's sympy-derived F, ekf_sym.py:76) lets those paths skip
+  # autodiff. Must equal jacfwd exactly — parity-tested for shipped models.
+  F_lane: Callable | None = None
+
   # --- MSCKF sliding-window augmentation (mirrors msckf_params,
   # ekf_sym.py:57-66); defaults = no augmentation ---
   dim_main: int | None = None

@@ -29,6 +29,7 @@ from rednose_tpu.ops.quaternion import (
     euler_to_rot,
     quat_matrix_r,
     quat_to_rot,
+    skew,
 )
 from rednose_tpu.runtime.driver import KalmanError
 
@@ -273,6 +274,37 @@ def _h_imu_frame(params, x, ea):
   return x[S.IMU_OFFSET]
 
 
+def _F_lane(params, x, dt):
+  """Closed-form F = I + dt*A on slab state x (23, *b) -> (22, 22, *b).
+
+  A is the error-dynamics Jacobian at dx=0 (the sparsity live_kf.py's
+  sympy derivation produces, ekf_sym.py:76-80): five nonzero 3x3 blocks —
+  A[pos, vel] = I, A[att, att] = -skew(R w), A[att, w] = R,
+  A[vel, att] = -skew(R a), A[vel, acc] = R, with R = quat_to_rot(q).
+  The -skew closed form is verified exhaustively against jax.jacfwd in
+  tests/test_live_lane.py / test_live_kf.py::test_f_lane_matches_jacfwd.
+  XLA-path helper (scatter-built; not for Pallas kernels — the fused
+  kernel derives its own blocks, ops/live_lane.py)."""
+  del params
+  q, w, a = x[3:7], x[10:13], x[17:20]
+  Rq = quat_to_rot(q)                                  # (3, 3, *b)
+  wd = jnp.einsum('ij...,j...->i...', Rq, w)
+  ad = jnp.einsum('ij...,j...->i...', Rq, a)
+  b = x.shape[1:]
+  dt = jnp.broadcast_to(jnp.asarray(dt, x.dtype), b)
+  A = jnp.zeros((DIM_STATE_ERR, DIM_STATE_ERR) + b, dtype=x.dtype)
+  eye3 = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype).reshape(
+      (3, 3) + (1,) * len(b)), (3, 3) + b)
+  A = A.at[0:3, 6:9].set(eye3)
+  A = A.at[3:6, 3:6].set(-skew(wd))
+  A = A.at[3:6, 9:12].set(Rq)
+  A = A.at[6:9, 3:6].set(-skew(ad))
+  A = A.at[6:9, 16:19].set(Rq)
+  eye = jnp.eye(DIM_STATE_ERR, dtype=x.dtype).reshape(
+      (DIM_STATE_ERR, DIM_STATE_ERR) + (1,) * len(b))
+  return eye + dt * A
+
+
 def build_live_spec() -> FilterSpec:
   K = ObservationKind
   obs = {
@@ -298,6 +330,7 @@ def build_live_spec() -> FilterSpec:
       H_mod=_H_mod,
       f_err=_f_err,
       quaternion_idxs=(3,),
+      F_lane=_F_lane,
   )
 
 

@@ -126,7 +126,12 @@ def lane_predict(spec: FilterSpec, params, x, P, Q, dt, structure=None):
   live fast path (ops/live_lane.py)."""
   x_new = jax.vmap(lambda xx: spec.f(params, xx, dt))(x)
   if structure is None:
-    F = jax.vmap(lambda xx: spec.F(params, xx, dt), out_axes=2)(x)  # (d,d,B)
+    # per-step vmap(jacfwd) of rotation-chain dynamics is ~95% of this
+    # predict's cost; use the spec's closed-form F when it ships one
+    if spec.F_lane is not None:
+      F = spec.F_lane(params, x.T, dt)                              # (d,d,B)
+    else:
+      F = jax.vmap(lambda xx: spec.F(params, xx, dt), out_axes=2)(x)
     P_new = _matmul_lt(_matmul_ll(F, P), F)
   else:
     Fc = jax.vmap(

@@ -251,8 +251,11 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
   from rednose_tpu.ops.lane_bank import (
       _matmul_ll, _matmul_lt, cho_solve_lane, cholesky_lane)
 
-  F = jax.vmap(lambda xk, dt: spec.F(params, xk, dt)[:d2, :d2],
-               out_axes=2)(x_post[:-1], dts)  # (d2, d2, T-1)
+  if spec.F_lane is not None:  # closed-form F: skips the dominant jacfwd
+    F = spec.F_lane(params, x_post[:-1].T, dts)[:d2, :d2]
+  else:
+    F = jax.vmap(lambda xk, dt: spec.F(params, xk, dt)[:d2, :d2],
+                 out_axes=2)(x_post[:-1], dts)  # (d2, d2, T-1)
   Pk = jnp.transpose(P_post[:-1, :d2, :d2], (1, 2, 0))
   Pk1 = jnp.transpose(P_pred[1:, :d2, :d2], (1, 2, 0))
   L = cholesky_lane(Pk1)

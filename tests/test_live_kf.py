@@ -159,3 +159,32 @@ def test_divergence_guard_raises():
   kf.filter.x = kf.filter.x.at[3].set(jnp.nan)
   with pytest.raises(KalmanError):
     kf.predict_and_observe(0.1, K.ECEF_POS, [LiveKalman.initial_x[0:3]])
+
+
+def test_f_lane_matches_jacfwd():
+  """Closed-form F_lane (models/live._F_lane) == jacfwd F at random states,
+  shared and per-lane dt."""
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.live import LiveKalman
+
+  spec = LiveKalman.build_spec()
+  rng = np.random.RandomState(0)
+  B = 5
+  xs = np.tile(LiveKalman.initial_x, (B, 1))
+  xs *= 1.0 + 0.1 * rng.randn(B, 23)
+  xs += 0.1 * rng.randn(B, 23)
+  xs[:, 3:7] /= np.linalg.norm(xs[:, 3:7], axis=1, keepdims=True)
+  dts = 0.01 + 0.2 * rng.rand(B)
+
+  F_ref = np.stack([np.asarray(spec.F({}, jnp.asarray(xs[i]), dts[i]))
+                    for i in range(B)])
+  F_lane = np.transpose(
+      np.asarray(spec.F_lane({}, jnp.asarray(xs.T), jnp.asarray(dts))),
+      (2, 0, 1))
+  np.testing.assert_allclose(F_lane, F_ref, rtol=1e-12, atol=1e-12)
+  # scalar dt broadcast
+  F_lane0 = np.asarray(spec.F_lane({}, jnp.asarray(xs.T), 0.05))
+  F_ref0 = np.asarray(spec.F({}, jnp.asarray(xs[0]), 0.05))
+  np.testing.assert_allclose(F_lane0[:, :, 0], F_ref0, rtol=1e-12,
+                             atol=1e-12)
