@@ -288,8 +288,10 @@ def _F_lane(params, x, dt):
   del params
   q, w, a = x[3:7], x[10:13], x[17:20]
   Rq = quat_to_rot(q)                                  # (3, 3, *b)
-  wd = jnp.einsum('ij...,j...->i...', Rq, w)
-  ad = jnp.einsum('ij...,j...->i...', Rq, a)
+  # unrolled mat-vec (no dot_general): keeps TPU default-precision bf16
+  # matmuls out of the covariance path (CLAUDE.md precision rule)
+  wd = jnp.stack([sum(Rq[i, j] * w[j] for j in range(3)) for i in range(3)])
+  ad = jnp.stack([sum(Rq[i, j] * a[j] for j in range(3)) for i in range(3)])
   b = x.shape[1:]
   dt = jnp.broadcast_to(jnp.asarray(dt, x.dtype), b)
   A = jnp.zeros((DIM_STATE_ERR, DIM_STATE_ERR) + b, dtype=x.dtype)

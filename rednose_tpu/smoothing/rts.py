@@ -266,7 +266,7 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
 
   u_l = jax.vmap(lambda xp, xf: spec.inv_err(params, xp, xf),
                  out_axes=1)(x_pred[1:], x_post[1:])[:d2]  # (d2, T-1)
-  b_l = sum(C_l[:, j] * u_l[j][None] for j in range(d2))[:, None]  # (d2,1,T-1)
+  b_l = _matmul_ll(C_l, u_l[:, None])  # (d2, 1, T-1)
   # P_{k+1|k+1} - P_{k+1|k}, lane-major
   dP_l = jnp.transpose(P_post[1:, :d2, :d2] - P_pred[1:, :d2, :d2],
                        (1, 2, 0))

@@ -60,7 +60,9 @@ def test_rts_matches_numpy_oracle():
 
 
 def test_parallel_rts_matches_sequential():
-  kf, estimates, _ = _run_filter()
+  # T=600 so the chunked long-log branch of _suffix_scan_lane (the
+  # production path for T-1 >= 512) is exercised through the full smoother
+  kf, estimates, _ = _run_filter(T=600)
   seq = kf.filter.rts_smooth(estimates)
   par = kf.filter.rts_smooth(estimates, parallel=True)
   xs_seq = np.stack([s[0] for s in seq])
