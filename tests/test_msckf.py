@@ -280,3 +280,46 @@ def test_feature_update_insensitive_to_feature_error():
                              jnp_.asarray(z), jnp_.asarray(R), jnp_.asarray(ea))
   # z consistent with ea: innovation zero -> posterior == prior state
   np.testing.assert_allclose(np.asarray(x1), x, atol=1e-10)
+
+
+def test_feature_store_at_reference_design_point():
+  """The reference templates are sized 6000 tracks x 3000 features/frame
+  (feature_handler.c:23-26); the vectorized store must handle that exact
+  design point: two full frames, all 3000 tracks created then extended."""
+  import jax.numpy as jnp
+
+  from rednose_tpu.msckf import feature_handler as fh
+
+  K = 4
+  tracks = fh.empty_tracks(K)  # defaults: 6000 tracks
+  assert tracks.shape == (6000, K + 1, 5)
+  nf = fh.DEFAULT_N_FEATURES
+  assert nf == 3000
+
+  rng = np.random.RandomState(0)
+  uv = rng.rand(nf, 2)
+  # frame 1: all-new features (match points at a stale slot -> new track;
+  # match < 0 would mean padding). next_id i lands (cumsum allocation over
+  # the in-order empty slots of a fresh store) in slot i, so last_id ==
+  # slot — the id/slot discipline the VO pipeline maintains
+  # (msckf/pipeline.py)
+  feats1 = np.column_stack([
+      np.zeros(nf), np.arange(nf, dtype=np.float64),
+      uv[:, 0], uv[:, 1], np.arange(nf, 2 * nf, dtype=np.float64)])
+  tracks, dropped1 = fh.merge_features(
+      tracks, jnp.asarray(feats1), fh.empty_slots(tracks))
+  assert int(dropped1) == 0
+  assert int(jnp.sum(tracks[:, 0, fh.H_COUNT] > 0)) == nf
+
+  # frame 2: every feature matches its frame-1 track (match = slot = id)
+  feats2 = np.column_stack([
+      np.zeros(nf), np.arange(nf, dtype=np.float64),
+      uv[:, 0] + 0.01, uv[:, 1] + 0.01,
+      np.arange(nf, dtype=np.float64)])
+  tracks = fh.reset_seen(tracks)
+  tracks, dropped2 = fh.merge_features(
+      tracks, jnp.asarray(feats2), fh.empty_slots(tracks))
+  assert int(dropped2) == 0
+  counts = np.asarray(tracks[:, 0, fh.H_COUNT])
+  assert (counts[counts > 0] == 2.0).all()
+  assert int((counts > 0).sum()) == nf
