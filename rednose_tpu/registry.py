@@ -38,6 +38,7 @@ def registered_filters() -> dict[str, type]:
 def _ensure_builtins():
   # import for side effect: the shipped models self-register via @register
   from rednose_tpu.models import (  # noqa: F401
+      car,
       kinematic,
       live,
       msckf_eskf,

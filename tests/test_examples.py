@@ -13,7 +13,8 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
                                     "run_bank.py", "run_msckf.py",
                                     "run_mixed_bank.py",
                                     "run_vo_pipeline.py",
-                                    "run_compat_migration.py"])
+                                    "run_compat_migration.py",
+                                    "run_car.py"])
 def test_example_runs(script, monkeypatch, capsys):
   monkeypatch.delenv("PLOT", raising=False)
   sys.path.insert(0, str(EXAMPLES))
