@@ -6,8 +6,27 @@ tick through runtime params (set_global — zero recompilation)."""
 
 import numpy as np
 
-from rednose_tpu.models.car import CarKalman, ObservationKind
-from tests.test_car import TRUE_AO, TRUE_SF, TRUE_SR, _truth_step
+from rednose_tpu.models.car import (
+    CarKalman, DEFAULT_PARAMS, ObservationKind)
+
+TRUE_SR, TRUE_SF, TRUE_AO = 17.5, 0.82, 1.8
+
+
+def _truth_step(vy, r, u, steer_deg, dt):
+  """Independent ground-truth single-track integrator (finer substeps)."""
+  p = DEFAULT_PARAMS
+  m, j = p['mass'], p['rot_inertia']
+  cF, cR = TRUE_SF * p['cF0'], TRUE_SF * p['cR0']
+  aF, aR = p['aF'], p['aR']
+  sa = np.deg2rad(steer_deg - TRUE_AO) / TRUE_SR
+  for _ in range(10):
+    vy_dot = (-(cF + cR) / (m * u) * vy
+              + ((aR * cR - aF * cF) / (m * u) - u) * r + cF / m * sa)
+    r_dot = ((aR * cR - aF * cF) / (j * u) * vy
+             - (aF * aF * cF + aR * aR * cR) / (j * u) * r
+             + aF * cF / j * sa)
+    vy, r = vy + dt / 10 * vy_dot, r + dt / 10 * r_dot
+  return vy, r
 
 
 def main():
