@@ -73,6 +73,14 @@ DEFAULT_PARAMS = {
 }
 
 
+# Speed floor for the dynamics: the single-track equations divide by u and
+# the one-step explicit-Euler discretization goes unstable once
+# (cF+cR)/(m u) dt > 2 (~3.5 m/s at 20 Hz). Below this speed there is no
+# lateral-dynamics information anyway (paramsd likewise gates on speed), so
+# the model saturates u rather than NaN-poisoning the state at standstill.
+MIN_SPEED = 5.0
+
+
 def _f(params, x, dt):
   sR = x[0]
   sf = x[1]
@@ -82,7 +90,7 @@ def _f(params, x, dt):
   m, j = params['mass'], params['rot_inertia']
   cF, cR = sf * params['cF0'], sf * params['cR0']
   aF, aR = params['aF'], params['aR']
-  u = params['u']
+  u = jnp.maximum(params['u'], MIN_SPEED)
   sa = jnp.deg2rad(params['steer_angle_deg'] - ao) / sR
 
   vy_dot = (-(cF + cR) / (m * u) * vy
@@ -105,9 +113,6 @@ def _h_yaw_rate(params, x, ea):
 def _h_lateral_slip(params, x, ea):
   del params, ea
   return x[3:4]
-
-
-_spec_cache = None
 
 
 def build_car_spec() -> FilterSpec:

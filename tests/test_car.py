@@ -66,14 +66,28 @@ def test_set_global_does_not_recompile():
   kf = CarKalman()
   step_ops.jit_predict_and_update_batch.cache_clear()
   t = 0.0
-  fns = set()
   for i in range(10):
     t += 0.05
     kf.set_inputs(15.0 + i, float(i))
     kf.predict_and_observe(t, ObservationKind.YAW_RATE, [0.0])
-    fns.add(id(step_ops.jit_predict_and_update_batch(
-        kf.spec, ObservationKind.YAW_RATE)))
-  assert len(fns) == 1
+  fn = step_ops.jit_predict_and_update_batch(kf.spec,
+                                             ObservationKind.YAW_RATE)
+  # ONE traced program despite ten distinct (u, steer) inputs: params are
+  # traced arguments, not static — the actual no-recompile guarantee
+  assert fn._cache_size() == 1
+
+
+def test_standstill_does_not_nan():
+  """u = 0 (standstill) must not NaN-poison the filter: the dynamics
+  saturate speed at MIN_SPEED instead of dividing by zero."""
+  kf = CarKalman()
+  kf.set_inputs(0.0, 30.0)
+  kf.predict_and_observe(0.1, ObservationKind.YAW_RATE, [0.0])
+  kf.predict_and_observe(0.2, ObservationKind.YAW_RATE, [0.0])
+  assert np.isfinite(kf.x).all() and np.isfinite(kf.P).all()
+  kf.set_inputs(20.0, 0.0)
+  kf.predict_and_observe(0.3, ObservationKind.YAW_RATE, [0.0])
+  assert np.isfinite(kf.x).all()
 
 
 def test_registry_lists_car():
