@@ -89,6 +89,31 @@ class LiveKalmanBank:
                      t=jnp.full((self.batch,), 0.0, self.dtype),
                      epoch=self.t)
 
+  def diverged(self):
+    """(B,) bool: lanes whose state or covariance went non-finite, or whose
+    quaternion norm left the live divergence window (the bank analog of the
+    single-filter quat-norm guard -> KalmanError, models/live.py;
+    reference: live_kf.py:299-306). Traced-friendly (no host sync)."""
+    finite = (jnp.all(jnp.isfinite(self._x), axis=1)
+              & jnp.all(jnp.isfinite(self._P), axis=(0, 1)))
+    qn = jnp.linalg.norm(self._x[:, 3:7], axis=1)
+    return ~(finite & (qn > 0.1) & (qn < 10.0))
+
+  def reset_diverged(self, x0=None, P_diag=None):
+    """Elastic recovery: re-seed only the diverged lanes from the initial
+    state (or the given one) and report how many were reset. Healthy lanes
+    are untouched, so one bad lane never forces a bank-wide restart — the
+    wide-bank analog of the reference's caller-side init_state re-seed on
+    KalmanError."""
+    bad = self.diverged()
+    x0 = jnp.asarray(LiveKalman.initial_x if x0 is None else x0, self.dtype)
+    P_diag = np.asarray(LiveKalman.initial_P_diag if P_diag is None
+                        else P_diag)
+    P0 = jnp.asarray(np.diag(P_diag), self.dtype)
+    self._x = jnp.where(bad[:, None], x0[None, :], self._x)
+    self._P = jnp.where(bad[None, None, :], P0[:, :, None], self._P)
+    return int(jnp.sum(bad))
+
   def save(self, path):
     save_bank(path, self.state())
 

@@ -194,3 +194,40 @@ def test_streamed_per_step_R_matches_driver_oracle():
     pallas_live.live_bank_scan_mixed = orig
   np.testing.assert_array_equal(np.asarray(pl_bank.x), np.asarray(bank.x))
   np.testing.assert_array_equal(np.asarray(pl_bank.P), np.asarray(bank.P))
+
+
+def test_diverged_detection_and_reset():
+  """Divergence detection + per-lane elastic recovery: poisoned lanes are
+  flagged and re-seeded, healthy lanes bit-identical untouched."""
+  import jax.numpy as jnp
+
+  bank = LiveKalmanBank(batch=16, use_pallas=False, dtype=jnp.float64)
+  T = 4
+  rng = np.random.RandomState(0)
+  dts = np.full((T,), 0.01)
+  zs = LiveKalman.initial_x[:3] + rng.randn(T, 16, 3)
+  bank.run(jnp.asarray(dts), jnp.asarray(zs))
+  assert int(jnp.sum(bank.diverged())) == 0
+
+  # poison lane 3 with NaN state and lane 7 with a collapsed quaternion
+  x = np.asarray(bank.x).copy()
+  x[3, 0] = np.nan
+  x[7, 3:7] = 1e-3
+  bank._x = jnp.asarray(x)
+  bad = np.asarray(bank.diverged())
+  assert bad[3] and bad[7] and bad.sum() == 2
+
+  healthy_x = np.asarray(bank.x)[[i for i in range(16) if i not in (3, 7)]]
+  healthy_P = np.asarray(bank.P)[[i for i in range(16) if i not in (3, 7)]]
+  n = bank.reset_diverged()
+  assert n == 2
+  assert int(jnp.sum(bank.diverged())) == 0
+  np.testing.assert_array_equal(
+      np.asarray(bank.x)[[i for i in range(16) if i not in (3, 7)]],
+      healthy_x)
+  np.testing.assert_array_equal(
+      np.asarray(bank.P)[[i for i in range(16) if i not in (3, 7)]],
+      healthy_P)
+  np.testing.assert_allclose(np.asarray(bank.x)[3], LiveKalman.initial_x)
+  np.testing.assert_allclose(np.asarray(bank.P)[7],
+                             np.diag(LiveKalman.initial_P_diag))
