@@ -315,3 +315,41 @@ def test_compat_msckf_matches_jnp_engine():
                              rtol=1e-9, atol=1e-12)
   np.testing.assert_allclose(eng_sym.covs(), eng_jnp.covs(),
                              rtol=1e-8, atol=1e-12)
+
+
+def test_compat_eskf_trajectory_matches_jnp_engine():
+  """Trajectory-level dual-engine equivalence (the literal test_compare
+  analog, examples/test_compare.py:115-120): the sympy-frontend live spec
+  and the jnp live spec run the same noisy measurement stream — including
+  an out-of-order observation — through two FilterEngines; state/cov must
+  agree at every step."""
+  from rednose_tpu.models.live import LiveKalman
+  from rednose_tpu.runtime.driver import FilterEngine
+
+  f_sym, dt_sym, xs, obs_eqs, eskf = _live_sympy_pieces()
+  spec_sym = compat.gen_code(
+      None, 'live_compat_traj', f_sym, dt_sym, xs, obs_eqs, 23, 22,
+      eskf_params=eskf, quaternion_idxs=[3])
+  spec_jnp = LiveKalman.build_spec()
+
+  engines = [
+      FilterEngine(s, LiveKalman.Q, LiveKalman.initial_x,
+                   np.diag(LiveKalman.initial_P_diag))
+      for s in (spec_sym, spec_jnp)]
+  rng = np.random.RandomState(7)
+  R = np.diag([25.0] * 3)
+  t = 0.0
+  for i in range(60):
+    t += 0.01
+    z = LiveKalman.initial_x[0:3] + 3.0 * rng.randn(3)
+    for eng in engines:
+      eng.predict_and_update_batch(t, 12, [z], R[None])
+    if i == 40:  # out-of-order: rewind + replay on both engines
+      z_late = LiveKalman.initial_x[0:3] + 3.0 * rng.randn(3)
+      for eng in engines:
+        est = eng.predict_and_update_batch(t - 0.15, 12, [z_late], R[None])
+        assert est is not None
+    np.testing.assert_allclose(engines[0].state(), engines[1].state(),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(engines[0].covs(), engines[1].covs(),
+                               rtol=1e-7, atol=1e-9)
