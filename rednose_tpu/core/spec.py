@@ -43,6 +43,13 @@ class ObservationModel:
   # >0 marks an MSCKF feature-track kind whose update nullspace-projects the
   # feature-position error out (reference: He jacobian, ekf_sym.py:86-87).
   ea_dim: int = 0
+  # Length of the extra-args vector h() expects. Distinct from ea_dim: the
+  # reference's loc_kf pseudorange family passes extra args (sat_pos) to
+  # NON-feature kinds (kind not in feature_track_kinds, ekf_sym.py:84-89) —
+  # those have ea_len > 0 but ea_dim == 0 (no nullspace projection). Every
+  # placeholder an internal path builds for h is sized from ea_len. None
+  # defaults to ea_dim (feature kinds consume exactly the projected dims).
+  ea_len: int | None = None
   # Mahalanobis outlier gate (reference: maha_test_kinds + baked chi2 threshold,
   # ekf_sym.py:144-152).
   maha_test: bool = False
@@ -53,10 +60,31 @@ class ObservationModel:
       # Threshold baked from the *unprojected* observation dim, matching the
       # reference codegen (ekf_sym.py:144 uses h_sym.shape[0]).
       object.__setattr__(self, "maha_thresh", chi2_ppf(0.95, self.dz))
+    if self.ea_len is None:
+      object.__setattr__(self, "ea_len", self.ea_dim)
+    assert self.ea_len >= self.ea_dim, (self.ea_len, self.ea_dim)
 
   @property
   def is_feature(self) -> bool:
     return self.ea_dim > 0
+
+
+class ParamsRoutine:
+  """Extra routine that takes the LIVE params pytree as its first argument.
+
+  FilterEngine.get_extra_routine partially applies the engine's *current*
+  params at every call, so set_global updates reach the routine — matching
+  the reference, where generated extra routines read the live C globals
+  (ekf_sym.py:109-113, 129-132). Plain callables in extra_routines are
+  returned as-is (no params threading)."""
+
+  __slots__ = ("fn",)
+
+  def __init__(self, fn):
+    self.fn = fn
+
+  def __call__(self, params, *args):
+    return self.fn(params, *args)
 
 
 def _default_err(params, x, dx):

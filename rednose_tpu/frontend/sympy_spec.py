@@ -37,7 +37,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import sympy as sp
 
-from rednose_tpu.core.spec import FilterSpec, ObservationModel
+from rednose_tpu.core.spec import FilterSpec, ObservationModel, ParamsRoutine
 
 
 def _sym_args(sym):
@@ -125,20 +125,28 @@ def spec_from_sympy(name, f_sym, dt_sym, x_sym, obs_eqs, dim_x, dim_err,
     if ea_sym is not None:
       lam_h = _lambdify([x_sym, ea_sym], h_sym, gv, ravel_out=True)
       h = (lambda lh: lambda params, x, ea: lh(params, x, ea))(lam_h)
-      ea_dim = int(ea_sym.shape[0]) if is_feature else 0
+      # ea_len: the real extra-arg vector length (sized into every internal
+      # placeholder); ea_dim: nullspace-projected dims, FEATURE KINDS ONLY —
+      # the loc_kf pseudorange family has extra args on non-feature kinds
+      # (ekf_sym.py:84-89), which must not trigger MSCKF projection.
+      ea_len = int(ea_sym.shape[0])
+      ea_dim = ea_len if is_feature else 0
     else:
       lam_h = _lambdify([x_sym], h_sym, gv, ravel_out=True)
       h = (lambda lh: lambda params, x, ea: lh(params, x))(lam_h)
-      ea_dim = 0
+      ea_dim = ea_len = 0
     obs[int(kind)] = ObservationModel(
-        kind=int(kind), h=h, dz=dz, ea_dim=ea_dim,
+        kind=int(kind), h=h, dz=dz, ea_dim=ea_dim, ea_len=ea_len,
         maha_test=kind in tuple(maha_test_kinds))
 
   routines = {}
   for rname, expr, arg_syms in extra_routines:
     lam_r = _lambdify(arg_syms, expr, gv, ravel_out=expr.shape[1] == 1)
-    routines[rname] = (lambda lr: lambda *args: lr(default_params, *args))(
-        lam_r)
+    # ParamsRoutine: the engine applies its LIVE params at call time, so
+    # set_global updates reach the routine (the reference's generated extra
+    # routines read the live C globals; binding default_params here would
+    # freeze them at 0.0 forever).
+    routines[rname] = ParamsRoutine(lam_r)
 
   kwargs = dict(
       name=name,

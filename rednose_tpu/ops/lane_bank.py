@@ -157,7 +157,7 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
   """
   om = spec.obs[kind]
   dz, de = om.dz, spec.dim_err
-  ea0 = jnp.zeros((max(om.ea_dim, 1),), dtype=x.dtype)
+  ea0 = jnp.zeros((max(om.ea_len, 1),), dtype=x.dtype)
 
   if R.ndim == 2:
     R = R[:, :, None]

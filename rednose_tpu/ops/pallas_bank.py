@@ -112,7 +112,7 @@ def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   dz, de = om.dz, spec.dim_err
 
   if structure is None:
-    m = max(om.ea_dim, 1)
+    m = max(om.ea_len, 1)
     # ea placeholder built from x (a jnp.zeros constant would be rejected
     # as a captured constant inside Pallas kernels)
     h = _vt(unroll_dots(lambda xx: om.h(params, xx, xx[:m] * 0.0)))(x)

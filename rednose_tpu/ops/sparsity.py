@@ -91,6 +91,28 @@ def sample_states(spec: FilterSpec, x0, n: int, seed: int = 0,
   return xs
 
 
+def perturb_params(params, rng, rel: float = 0.1, absolute: float = 0.5):
+  """Randomly perturb every floating leaf of a params pytree.
+
+  Structure detection must not sample Jacobians at a single fixed params: a
+  params-dependent F/H entry that happens to be zero there (e.g. a sympy
+  global still at its 0.0 default) would be masked out of the products, and
+  a later set_global would silently corrupt the covariance. Perturbing the
+  params per sample makes such entries structurally visible. Non-float
+  leaves (ints, bools, treedefs) pass through untouched."""
+  leaves, treedef = jax.tree_util.tree_flatten(params)
+  out = []
+  for leaf in leaves:
+    arr = np.asarray(leaf)
+    if np.issubdtype(arr.dtype, np.floating):
+      p = (arr * (1.0 + rel * rng.randn(*arr.shape))
+           + absolute * rng.randn(*arr.shape))
+      out.append(float(p) if arr.ndim == 0 else p)
+    else:
+      out.append(leaf)
+  return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def composed_h_jvp(spec: FilterSpec, kind: int, params, x, cols: Cols):
   """h(x) and the requested columns of d h(err(x, dx))/d dx at dx = 0,
   via ONE jax.linearize + structurally-evaluated per-column taps
@@ -104,7 +126,7 @@ def composed_h_jvp(spec: FilterSpec, kind: int, params, x, cols: Cols):
   """
   om = spec.obs[kind]
   de = spec.dim_err
-  m = max(om.ea_dim, 1)
+  m = max(om.ea_len, 1)
   ea0 = x[:m] * 0.0
   dx0 = x[:de] * 0.0
 
@@ -136,7 +158,7 @@ def _dense_h_err(spec: FilterSpec, kind: int, params, x):
   """Reference composed Jacobian H @ H_mod via the spec's own H_mod
   (exactly what core/step.update computes)."""
   om = spec.obs[kind]
-  m = max(om.ea_dim, 1)
+  m = max(om.ea_len, 1)
   ea0 = jnp.zeros((m,), dtype=x.dtype)
   H = spec.H(kind, params, x, ea0)
   if spec.is_eskf:
@@ -169,21 +191,28 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
   with jax.default_device(cpu):
     xs = sample_states(spec, x0, n_detect + n_verify, seed=seed)
     xs_det, xs_ver = xs[:n_detect], xs[n_detect:]
+    # One independently perturbed params per sample: entries that are zero
+    # ONLY at the caller's params (sympy globals default 0.0) must still be
+    # detected as structurally nonzero — the resulting SpecStructure is
+    # applied at whatever params the runtime passes later (set_global).
+    prng = np.random.RandomState(seed + 0x5EED)
+    ps_det = [perturb_params(params, prng) for _ in xs_det]
+    ps_ver = [perturb_params(params, prng) for _ in xs_ver]
 
-    def F_at(x, dt):
-      return np.asarray(spec.F(params, jnp.asarray(x), dt))
+    def F_at(p, x, dt):
+      return np.asarray(spec.F(p, jnp.asarray(x), dt))
 
     eye = np.eye(de)
     f_mask = np.zeros((de, de), dtype=bool)
     g_mask = np.zeros((de, de), dtype=bool)
-    for x in xs_det:
+    for p, x in zip(ps_det, xs_det):
       for dt in dts:
-        F = F_at(x, float(dt))
+        F = F_at(p, x, float(dt))
         f_mask |= F != 0.0
         g_mask |= (F - eye) != 0.0
-    for x in xs_ver:
+    for p, x in zip(ps_ver, xs_ver):
       for dt in dts:
-        F = F_at(x, float(dt))
+        F = F_at(p, x, float(dt))
         bad = ((F != 0.0) & ~f_mask) | (((F - eye) != 0.0) & ~g_mask)
         if bad.any():
           ij = np.argwhere(bad)[:8].tolist()
@@ -197,13 +226,13 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
     h_cols = []
     for kind in kinds:
       mask = np.zeros((de,), dtype=bool)
-      for x in xs_det:
-        Hd = np.asarray(_dense_h_err(spec, kind, params, jnp.asarray(x)))
+      for p, x in zip(ps_det, xs_det):
+        Hd = np.asarray(_dense_h_err(spec, kind, p, jnp.asarray(x)))
         mask |= (Hd != 0.0).any(axis=0)
       cols = tuple(int(c) for c in np.nonzero(mask)[0])
-      for x in xs_ver:
+      for p, x in zip(ps_ver, xs_ver):
         xj = jnp.asarray(x)
-        Hd = np.asarray(_dense_h_err(spec, kind, params, xj))
+        Hd = np.asarray(_dense_h_err(spec, kind, p, xj))
         bad = (Hd != 0.0).any(axis=0) & ~mask
         if bad.any():
           raise StructureError(
@@ -211,7 +240,7 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
               f"nonzero on held-out samples but missed by detection")
         # composed-H shortcut consistency: jvp through err must reproduce
         # the spec's H @ H_mod on the detected columns
-        _, hc = composed_h_jvp(spec, kind, params, xj, cols)
+        _, hc = composed_h_jvp(spec, kind, p, xj, cols)
         for c, col in zip(cols, hc):
           ref = Hd[:, c]
           if not np.allclose(np.asarray(col), ref,

@@ -143,6 +143,15 @@ class _Interp:
     return self._emit("neg", lambda a: -a, x)
 
   def s_div(self, x, y):
+    if y is None or (isinstance(y, (int, float)) and y == 0.0):
+      # Structurally-zero denominator: emit the REAL division so NaN/inf
+      # semantics match the jacfwd oracle (0/0 -> NaN — folding to 0 would
+      # silently diverge for pathological specs), materializing None
+      # operands instead of crashing _emit with them.
+      xm = self.zero if x is None else (
+          self.zero + x if isinstance(x, (int, float)) else x)
+      ym = self.zero if y is None else self.zero + y
+      return self._emit("div", lambda a, b: a / b, xm, ym)
     if x is None:
       return None
     if isinstance(x, (int, float)) and isinstance(y, (int, float)):

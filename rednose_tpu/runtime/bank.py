@@ -101,7 +101,7 @@ def run_bank(spec: FilterSpec, kind: int, params, state: BankState, Q: Array,
   if Rs.ndim == 3:
     Rs = jnp.broadcast_to(Rs[:, None], (T, B, om.dz, om.dz))
   if eas is None:
-    eas = jnp.zeros((T, B, max(om.ea_dim, 1)), dtype=state.x.dtype)
+    eas = jnp.zeros((T, B, max(om.ea_len, 1)), dtype=state.x.dtype)
 
   def body(st, inp):
     dt, z, R, ea = inp

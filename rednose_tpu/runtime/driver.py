@@ -95,12 +95,21 @@ class FilterEngine:
 
   def get_extra_routine(self, name):
     """Fetch a spec-shipped auxiliary function, jitted (reference:
-    EKFSym::get_extra_routine, ekf_sym.cc:221-223)."""
+    EKFSym::get_extra_routine, ekf_sym.cc:221-223). ParamsRoutine-wrapped
+    routines receive the engine's params as they are at each CALL — so
+    set_global updates reach them, like the reference's generated routines
+    reading the live C globals."""
     if name not in self.spec.extra_routines:
       raise KeyError(
           f"no extra routine {name!r}; available: "
           f"{sorted(self.spec.extra_routines)}")
-    return jax.jit(self.spec.extra_routines[name])
+    fn = self.spec.extra_routines[name]
+    from rednose_tpu.core.spec import ParamsRoutine
+
+    if isinstance(fn, ParamsRoutine):
+      jitted = jax.jit(fn.fn)
+      return lambda *args: jitted(self.params, *args)
+    return jax.jit(fn)
 
   def set_global(self, name, val):
     """Runtime-tunable parameter update (replaces the reference's C-global
@@ -169,7 +178,7 @@ class FilterEngine:
     n = z.shape[0]
     assert R.shape[0] == n and z.shape[1] == R.shape[1] == R.shape[2]
     om = self.spec.obs[kind]
-    ea_dim = max(om.ea_dim, 1)  # keep a dummy lane so shapes stay static
+    ea_dim = max(om.ea_len, 1)  # keep a dummy lane so shapes stay static
     if extra_args is None or (hasattr(extra_args, "__len__") and len(extra_args) == 0):
       ea = np.zeros((n, ea_dim))
     else:
@@ -228,7 +237,7 @@ class FilterEngine:
   def maha_test(self, x, P, kind, z, R, extra_args=None, maha_thresh=0.95):
     """Standalone outlier test (reference: ekf_sym.py:626-649)."""
     om = self.spec.obs[kind]
-    ea_dim = max(om.ea_dim, 1)
+    ea_dim = max(om.ea_len, 1)
     ea = (np.zeros(ea_dim) if extra_args is None or len(extra_args) == 0
           else np.asarray(extra_args))
     ok = step_ops.maha_test(

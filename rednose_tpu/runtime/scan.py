@@ -56,7 +56,7 @@ def _padded_update(spec: FilterSpec, kind: int, max_dz: int, params, x, P,
                                maha_thresh=om.maha_thresh)
   spec_pad = dataclasses.replace(spec, obs={**dict(spec.obs), kind: om_pad})
   x_new, P_new, _ = step_ops.update(
-      spec_pad, kind, params, x, P, z_pad, R_pad, ea[:max(om.ea_dim, 1)])
+      spec_pad, kind, params, x, P, z_pad, R_pad, ea[:max(om.ea_len, 1)])
   return x_new, P_new
 
 
@@ -112,7 +112,7 @@ def pad_log(spec: FilterSpec, kinds: Sequence[int], log, t0: float = 0.0,
   kinds = tuple(kinds)
   kind_to_idx = {k: i for i, k in enumerate(kinds)}
   max_dz = max(spec.obs[k].dz for k in kinds)
-  max_ea = max(max(spec.obs[k].ea_dim, 1) for k in kinds)
+  max_ea = max(max(spec.obs[k].ea_len, 1) for k in kinds)
   T = len(log)
   dts = np.zeros((T,), dtype=dtype)
   ki = np.zeros((T,), dtype=np.int32)

@@ -305,3 +305,49 @@ def test_missed_nonzero_raises():
   # union mask still contains it, so detection succeeds.
   st = sparsity.detect_structure(spec, np.array([0.0, 0.05]))
   assert (0, 1) in [(i, k) for i, r in enumerate(st.f_rows) for k in r]
+
+def test_param_dependent_structure_detected():
+  """A Jacobian entry that is zero at the caller's params (a sympy global
+  still at its 0.0 default) but nonzero after set_global must be detected:
+  detection samples perturb the params pytree, not just the state
+  (advisor r2 finding — a fixed-params detection would mask the entry out
+  of F P F^T and silently corrupt the covariance after set_global)."""
+  from rednose_tpu.core.spec import FilterSpec, ObservationModel
+
+  def f(params, x, dt):
+    return jnp.stack([x[0] + dt * params['k'] * x[1], x[1]])
+
+  spec = FilterSpec(
+      name="param_gated", dim_x=2, dim_err=2, f=f,
+      obs={1: ObservationModel(kind=1,
+                               h=lambda p, x, ea: (p['k'] * x[1])[None],
+                               dz=1)},
+      default_params={'k': 0.0})
+  st = sparsity.detect_structure(spec, np.array([1.0, 2.0]),
+                                 params={'k': 0.0})
+  assert 1 in st.f_rows[0], st.f_rows       # F[0,1] = dt*k, k defaults 0.0
+  assert 1 in st.cols_for(1), st.h_cols     # H[0,1] = k
+
+
+def test_structural_div_by_zero_emits_real_division():
+  """s_div with a structurally-zero denominator must emit the real division
+  — a non-finite result like the jacfwd oracle (0/0 = nan, 1/0 = inf) —
+  instead of folding the whole quotient to 0 or crashing _emit with a None
+  operand (advisor r2 finding on ops/structural.py s_div). Exact NaN-vs-inf
+  parity with the oracle is NOT promised: multiply-by-structural-zero still
+  folds (that fold is the sparsity machinery itself), which can drop a
+  nan*0 term the oracle keeps."""
+  from rednose_tpu.ops import structural
+
+  def fn(v):
+    # at v=0: primal 0/0; the tangent decomposition divides by v1 = 0
+    return v[0:1] / v[1:2]
+
+  def run(x):
+    primal, cols = structural.jvp_taps(fn, 2, x.dtype, (0,), x[0] * 0.0)
+    return primal, cols[0]
+
+  x = jnp.asarray([3.0, 4.0])
+  primal, col = jax.jit(run)(x)  # pre-fix: TypeError in _emit
+  assert np.isnan(np.asarray(primal)).all()        # 0/0, like the oracle
+  assert not np.isfinite(np.asarray(col)).any()    # division emitted, not 0
