@@ -26,6 +26,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops.quaternion import normalize_slices
@@ -119,12 +120,32 @@ def cho_solve_lane(cols, B_):
 def lane_predict(spec: FilterSpec, params, x, P, Q, dt, structure=None):
   """Bank predict: x (B, dim_x), P (dim_err, dim_err, B) lane-major.
 
-  Implements ekf_c.c:8-33 semantics (full F P F^T; MSCKF block structure not
-  supported here — see module docstring). With a detected `structure`
-  (ops/sparsity.SpecStructure) the F P F^T products unroll only F's
-  structurally nonzero entries — the automated analog of the hand-derived
-  live fast path (ops/live_lane.py)."""
+  Implements ekf_c.c:8-33 semantics, INCLUDING the MSCKF block form: for
+  specs with clone states (dim_main_err < dim_err) only the main block
+  gets F P F^T, the coupling blocks get one-sided F products, and the
+  clone block passes through (the clone states are static). With a
+  detected `structure` (ops/sparsity.SpecStructure) the F P F^T products
+  unroll only F's structurally nonzero entries — the automated analog of
+  the hand-derived live fast path (ops/live_lane.py)."""
   x_new = jax.vmap(lambda xx: spec.f(params, xx, dt))(x)
+  m = spec.dim_main_err
+  if m < spec.dim_err:
+    # MSCKF block propagation (ekf_c.c:17-29), lane-major
+    if spec.F_lane is not None:
+      Fm = spec.F_lane(params, x.T, dt)[:m, :m]
+    else:
+      Fm = jax.vmap(lambda xx: spec.F(params, xx, dt)[:m, :m],
+                    out_axes=2)(x)
+    TL = _matmul_lt(_matmul_ll(Fm, P[:m, :m]), Fm)
+    TR = _matmul_ll(Fm, P[:m, m:])
+    P_new = jnp.concatenate([
+        jnp.concatenate([TL, TR], axis=1),
+        jnp.concatenate([jnp.swapaxes(TR, 0, 1), P[m:, m:]], axis=1),
+    ])
+    P_new = _sym(P_new) + (dt * Q)[:, :, None]
+    x_new = jax.vmap(
+        lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
+    return x_new, P_new
   if structure is None:
     # per-step vmap(jacfwd) of rotation-chain dynamics is ~95% of this
     # predict's cost; use the spec's closed-form F when it ships one
@@ -143,8 +164,61 @@ def lane_predict(spec: FilterSpec, params, x, P, Q, dt, structure=None):
   return x_new, P_new
 
 
+def _householder_qt(He):
+  """Householder reflectors of the thin QR of He (dz, m, B) lane-major.
+
+  Returns [(j, v, beta)] such that applying them in order left-multiplies
+  by Q^T (see _apply_qt). m is small (3 for every shipped feature kind),
+  so the factorization unrolls to a few dozen slab ops — the lane answer
+  to the reference's per-measurement Eigen fullPivLu().kernel()
+  (templates/ekf_c.c:66-70). A structurally rank-deficient He column gets
+  beta = 0 (its reflector degenerates to the identity) instead of the
+  reference's dynamic nullspace-failure branch (ekf_sym.py:588-591); the
+  Mahalanobis gate is the backstop for the garbage measurement that
+  implies."""
+  dz, m = He.shape[0], He.shape[1]
+  cols = [He[:, k] for k in range(m)]  # each (dz, B)
+  refl = []
+  for j in range(m):
+    c = cols[j][j:]  # (dz - j, B)
+    sigma = sum(c[i] * c[i] for i in range(dz - j))
+    norm = jnp.sqrt(sigma)
+    sign = jnp.where(c[0] >= 0, 1.0, -1.0)
+    alpha = -sign * norm
+    v0 = c[0] - alpha
+    v = jnp.concatenate([v0[None], c[1:]])
+    vtv = sigma - c[0] * c[0] + v0 * v0
+    beta = jnp.where(vtv > 0, 2.0 / jnp.where(vtv > 0, vtv, 1.0), 0.0)
+    refl.append((j, v, beta))
+    for k in range(j + 1, m):
+      ck = cols[k]
+      w = sum(v[i] * ck[j + i] for i in range(dz - j))  # (B,)
+      tail = ck[j:] - (beta * w)[None] * v
+      cols[k] = jnp.concatenate([ck[:j], tail])
+  return refl
+
+
+def _apply_qt(refl, M):
+  """Left-multiply M (dz, n, B) by Q^T via the Householder reflectors."""
+  for j, v, beta in refl:
+    sub = M[j:]  # (dz - j, n, B)
+    w = sum(v[i][None] * sub[i] for i in range(sub.shape[0]))  # (n, B)
+    sub = sub - (beta[None] * w)[None] * v[:, None]
+    M = jnp.concatenate([M[:j], sub]) if j else sub
+  return M
+
+
+def _solve_spd_lane(S, B_):
+  """S^{-1} B for SPD lane-major S (d, d, B): closed-form adjugate for
+  d <= 3, column-slab Cholesky otherwise (projected MSCKF feature updates
+  have d = dz - ea_dim > 3)."""
+  if S.shape[0] <= 3:
+    return _matmul_ll(_inv_small(S), B_)
+  return cho_solve_lane(cholesky_lane(S), B_)
+
+
 def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
-                structure=None):
+                structure=None, ea=None):
   """Bank update: z (B, dz), R (dz, dz) shared or (dz, dz, B) lane-major.
 
   Same math as core/step.py update (innovation, ESKF H.H_mod, Mahalanobis
@@ -161,6 +235,51 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
 
   if R.ndim == 2:
     R = R[:, :, None]
+
+  if om.is_feature:
+    # MSCKF feature-track update at bank speed: per-lane He, an unrolled
+    # Householder projection onto null(He^T), then the ordinary slab
+    # update at the projected dimension dz' = dz - ea_dim (the reference
+    # handles feature kinds in the same hot kernel, ekf_c.c:66-77).
+    assert ea is not None, "feature kinds need per-lane extra args (B, ea_len)"
+    B = x.shape[0]
+    h = jax.vmap(lambda xx, ee: om.h(params, xx, ee), out_axes=1)(x, ea)
+    H_raw = jax.vmap(lambda xx, ee: spec.H(kind, params, xx, ee),
+                     out_axes=2)(x, ea)          # (dz, dim_x, B)
+    He = jax.vmap(lambda xx, ee: spec.He(kind, params, xx, ee),
+                  out_axes=2)(x, ea)             # (dz, ea_dim, B)
+    if spec.is_eskf:
+      Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx), out_axes=2)(x)
+      H = _matmul_ll(H_raw, Hm)                  # (dz, de, B)
+    else:
+      H = H_raw
+    me = om.ea_dim
+    refl = _householder_qt(He)
+    # A = Q[:, me:] is an orthonormal left-nullspace basis of He; the
+    # update is invariant to the basis choice (core/step.py uses a QR
+    # complete basis — x/P parity holds, innovations differ by a rotation)
+    y = _apply_qt(refl, (z.T - h)[:, None])[me:, 0]     # (dz', B)
+    H = _apply_qt(refl, H)[me:]                          # (dz', de, B)
+    Rb = jnp.broadcast_to(R, (dz, dz, B))
+    T1 = _apply_qt(refl, Rb)                             # Q^T R
+    Rp = _apply_qt(refl, jnp.swapaxes(T1, 0, 1))[me:, me:]  # Q^T R Q
+    HP = _matmul_lt(H, P)                                # (dz', de, B)
+    S = _matmul_lt(HP, H) + _sym(Rp)
+    Kt = _solve_spd_lane(S, HP)                          # S^{-1} H P = K^T
+    K = jnp.swapaxes(Kt, 0, 1)                           # (de, dz', B)
+    dzp = dz - me
+    if om.maha_test:
+      sy = _solve_spd_lane(S, y[:, None])                # (dz', 1, B)
+      dist = sum(y[i] * sy[i, 0] for i in range(dzp))
+      K = jnp.where(dist[None, None, :] > om.maha_thresh, 0.0, K)
+    dx = sum(K[:, i, :] * y[i][None, :] for i in range(dzp))
+    KHP = _matmul_ll(K, HP)
+    P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1)
+                 + _matmul_lt(_matmul_ll(K, S), K))
+    x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
+    x_new = jax.vmap(
+        lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
+    return x_new, P_new, y.T
 
   if structure is None:
     h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)  # (dz, B)
@@ -212,6 +331,25 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
   x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
   x_new = jax.vmap(lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
   return x_new, P_new, y.T
+
+
+def lane_augment(spec: FilterSpec, x, P):
+  """Banked MSCKF augmentation: clone the current pose into the newest
+  window slot for every lane at once (core/step.augment semantics,
+  reference ekf_sym.py:365-391). x (B, dim_x), P (de, de, B) lane-major.
+  All indexing is static, so this jits into pure data movement."""
+  assert spec.is_msckf
+  d1, d2 = spec.dim_main, spec.dim_main_err
+  d3, d4 = spec.dim_augment, spec.dim_augment_err
+  x_new = jnp.concatenate([x[:, :d1], x[:, d1 + d3:], x[:, :d3]], axis=1)
+  keep = np.concatenate([np.arange(d2), np.arange(d2 + d4, spec.dim_err)])
+  Pr = P[keep][:, keep]  # (de - d4, de - d4, B)
+  # to_mult projection = duplicate the first d4 rows/cols into the last slot
+  P_new = jnp.concatenate([
+      jnp.concatenate([Pr, Pr[:, :d4]], axis=1),
+      jnp.concatenate([Pr[:d4], Pr[:d4, :d4]], axis=1),
+  ])
+  return x_new, _sym(P_new)
 
 
 def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,

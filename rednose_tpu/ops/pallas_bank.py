@@ -176,7 +176,7 @@ def pack_bank_measurements(zs):
 
 def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
             spec, kind, t_chunk: int, q_diag, r_mat, gate: bool,
-            structure):
+            structure, entry: bool):
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -188,10 +188,18 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
     x, P = carry
     dt = dts_ref[k, 0]
     z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
-    x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
-                                structure=structure)
-    x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat, gate=gate,
+    if entry:
+      # entry-level body (ops/entry_slab.py): the structural interpreter
+      # emits the whole step on slab values — the minimal-op path that
+      # lets live-complexity specs fit the Mosaic compile budget
+      from rednose_tpu.ops.entry_slab import entry_step_slab
+      x, P, _ = entry_step_slab(spec, kind, {}, x, P, z, q_diag, r_mat,
+                                dt, structure, gate=gate)
+    else:
+      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
                                   structure=structure)
+      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
+                                    gate=gate, structure=structure)
     return (x, P)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
@@ -202,11 +210,11 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
-                     'tile_b', 'interpret', 'structure'))
+                     'tile_b', 'interpret', 'structure', 'entry'))
 def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
                       q_diag, r_mat, gate: bool = False, t_chunk: int = 128,
                       tile_b: int = 1024, interpret: bool = False,
-                      structure=None):
+                      structure=None, entry: bool = True):
   """T fused predict+update steps of ANY scatter-free spec, VMEM-resident.
 
   Args mirror pallas_live.live_bank_scan with generic dims: x_packed
@@ -215,8 +223,11 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
   (dz, dz) nested tuple. Pass `structure` (ops/sparsity.detect_structure)
   to unroll only the structurally nonzero Jacobian entries — the automated
   equivalent of the hand-derived flagship kernel's sparsity
-  (ops/live_lane.py), typically several-fold fewer FLOPs for models whose
-  F/H are block-sparse.
+  (ops/live_lane.py). With a structure, `entry=True` (default) emits the
+  whole step body through the structural interpreter on slab values
+  (ops/entry_slab.py) — the minimal-op form that brings live-complexity
+  specs under the Mosaic compile budget; entry=False keeps the older
+  masked-products body.
   """
   T = zs_packed.shape[0]
   dx, de, dz = spec.dim_x, spec.dim_err, spec.obs[kind].dz
@@ -232,7 +243,8 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
 
   kernel = functools.partial(_kernel, spec=spec, kind=kind, t_chunk=t_chunk,
                              q_diag=q_diag, r_mat=r_mat, gate=gate,
-                             structure=structure)
+                             structure=structure,
+                             entry=entry and structure is not None)
 
   return pl.pallas_call(
       kernel,

@@ -169,6 +169,26 @@ class _Interp:
 
   # ------------------------------------------------------------- conversion
 
+  def lazy_obj(self, v, logical_shape):
+    """Object array of lazy references into `v`, addressed by LOGICAL shape.
+
+    Slab mode: `v` may carry arbitrary trailing bank dims beyond
+    logical_shape — element (i, ...) is then the slab v[i, ...] of bank
+    payload, and every emitted scalar op becomes a slab op. The jaxpr being
+    interpreted is always traced at logical shapes; only the payloads are
+    banked (see run_entry_taps)."""
+    la = self.lazy.get(id(v))
+    if la is None or la.arr is not v:
+      la = _LazyArray(v)
+      self.lazy[id(v)] = la
+    out = np.empty(logical_shape, dtype=object)
+    if not logical_shape:
+      out[()] = _Elem(la, ())
+    else:
+      for idx in np.ndindex(logical_shape):
+        out[idx] = _Elem(la, idx)
+    return out
+
   def to_obj(self, v):
     if isinstance(v, np.ndarray) and v.dtype == object:
       return v
@@ -195,19 +215,26 @@ class _Interp:
     return out
 
   def materialize(self, obj):
+    pshape = jnp.shape(self.zero)  # bank payload shape ((), or (*b) in slab mode)
+
     def conc(e):
       if e is None:
         return self.zero
       if isinstance(e, (int, float)):
         return self.zero + e if e != 0.0 else self.zero
       if isinstance(e, _Elem):
-        return e.resolve()
+        e = e.resolve()
+      # slab mode: elements may mix () payloads (e.g. pure-dt entries) with
+      # (*b) payloads; stack needs them uniform
+      if jnp.shape(e) != pshape:
+        e = jnp.broadcast_to(e, pshape)
       return e
 
     if obj.ndim == 0:
       return jnp.asarray(conc(obj[()]))
     out = jnp.stack([jnp.asarray(conc(e)) for e in obj.ravel()])
-    return out.reshape(obj.shape) if obj.ndim > 1 else out
+    # leading-dims reshape only: bank (tiled) dims stay put, Mosaic-safe
+    return out.reshape(obj.shape + pshape) if obj.ndim > 1 else out
 
   # ------------------------------------------------------------ array rules
 
@@ -372,6 +399,83 @@ class _Interp:
       for var, o in zip(eqn.outvars, outs):
         env[var] = o
     return [read(v) for v in jaxpr.outvars]
+
+
+def run_primal(fn, logical_args, slab_args, interp: _Interp):
+  """Evaluate fn through the structural interpreter on SLAB inputs.
+
+  fn is traced once at per-filter logical shapes (`logical_args`:
+  ShapeDtypeStructs); the interpretation then runs with `slab_args` —
+  traced arrays whose leading dims match the logical shapes and whose
+  trailing dims are arbitrary bank dims — so every emitted scalar op is a
+  slab op. Sharing one `interp` across calls CSEs common subexpressions
+  (e.g. the rotation matrix entries between the nominal-state propagation
+  and the Jacobian taps), exactly like the reference's sympy CSE pass
+  (sympy_helpers.py:122-162). fn must NOT close over slab-valued arrays
+  (they would be captured as consts at the wrong shape) — thread them as
+  explicit args. Returns the OBJECT arrays of fn's outputs (materialize
+  with interp.materialize)."""
+  closed = jax.make_jaxpr(fn)(*logical_args)
+  consts = []
+  for c in closed.consts:
+    if not hasattr(c, "aval"):  # concrete numpy / python: fold
+      consts.append(interp.to_obj(np.asarray(c)))
+    else:
+      consts.append(interp.lazy_obj(c, tuple(np.shape(c))))
+  objs = []
+  for a, ls in zip(slab_args, logical_args):
+    if isinstance(a, np.ndarray) and a.dtype == object:
+      objs.append(a)
+    else:
+      objs.append(interp.lazy_obj(a, tuple(ls.shape)))
+  return interp.run(closed.jaxpr, consts, *objs)
+
+
+def run_entry_taps(fn, logical_args, slab_args, n: int, dtype, cols,
+                   interp: _Interp):
+  """Jacobian-column taps of fn(*args, v) at v = 0, returned as RAW entry
+  lists instead of stacked arrays.
+
+  Returns (primal_obj, {col: [entries]}) where each entry is None
+  (structural zero), a python number (folded constant), or a traced
+  scalar/slab — so consumers can drive row-sparse slab algebra directly
+  from the scalars, skipping the ~40-op-per-column stack/broadcast
+  materialization AND preserving entry-level sparsity a stacked column
+  hides. Slab semantics as in run_primal."""
+  sds = jax.ShapeDtypeStruct((n,), dtype)
+
+  def wrapper(*all_args):
+    args, v, t = all_args[:-2], all_args[-2], all_args[-1]
+    return jax.jvp(lambda vv: fn(*args, vv), (v,), (t,))
+
+  closed = jax.make_jaxpr(wrapper)(*logical_args, sds, sds)
+  consts = []
+  for c in closed.consts:
+    if not hasattr(c, "aval"):
+      consts.append(interp.to_obj(np.asarray(c)))
+    else:
+      consts.append(interp.lazy_obj(c, tuple(np.shape(c))))
+  objs = []
+  for a, ls in zip(slab_args, logical_args):
+    if isinstance(a, np.ndarray) and a.dtype == object:
+      objs.append(a)
+    else:
+      objs.append(interp.lazy_obj(a, tuple(ls.shape)))
+  zvec = np.empty((n,), dtype=object)
+  zvec[:] = None
+
+  primal_obj = None
+  taps = {}
+  for k in cols:
+    onehot = np.empty((n,), dtype=object)
+    onehot[:] = None
+    onehot[k] = 1.0
+    primal_obj, tangent = interp.run(closed.jaxpr, consts, *objs, zvec,
+                                     onehot)
+    taps[k] = [e.resolve() if isinstance(e, _Elem) else e for e in tangent]
+  if primal_obj is None:  # no columns requested: still evaluate the primal
+    primal_obj, _ = interp.run(closed.jaxpr, consts, *objs, zvec, zvec)
+  return primal_obj, taps
 
 
 def jvp_taps(fn, n: int, dtype, cols, zero):

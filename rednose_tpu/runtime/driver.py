@@ -250,12 +250,15 @@ class FilterEngine:
         maha_thresh=maha_thresh)
     return bool(ok)
 
-  def rts_smooth(self, estimates, norm_quats=False, parallel=False):
+  def rts_smooth(self, estimates, norm_quats=False, parallel=False,
+                 refine=None):
     """Offline RTS smoothing of a list of Estimates (reference:
     ekf_sym.py:651-690). Delegates to the smoothing module; `parallel=True`
-    selects the associative-scan parallel-in-time formulation."""
+    selects the associative-scan parallel-in-time formulation (`refine`:
+    Newton re-linearization passes for ESKF specs, see
+    smoothing/rts.rts_smooth_parallel)."""
     from rednose_tpu.smoothing.rts import smooth_estimates
 
     return smooth_estimates(self.spec, self.params, estimates,
                             norm_quats=norm_quats, parallel=parallel,
-                            dtype=self.dtype)
+                            dtype=self.dtype, refine=refine)

@@ -138,9 +138,10 @@ def _affine_combine_lane(a, b):
   return A, b_new, V
 
 
-def _suffix_scan_lane(A, b, V, n_lanes: int = 128):
+def _suffix_scan_lane(A, b, V=None, n_lanes: int = 128):
   """Inclusive suffix combine of the affine elements (A (d,d,T), b (d,1,T),
   V (d,d,T)) along the time axis: out[k] = x[T-1] ∘ ... ∘ x[k].
+  With V=None, combines only (A, b) — the refinement passes' cheap variant.
 
   jax.lax.associative_scan slices odd/even elements along the scanned axis
   at every level; with time on vector lanes those are strided lane gathers
@@ -165,46 +166,49 @@ def _suffix_scan_lane(A, b, V, n_lanes: int = 128):
   M = -(-T // C)
   pad = M * C - T
 
+  eye = jnp.eye(d, dtype=A.dtype)
+  idents = (eye, jnp.zeros((d, 1), dtype=A.dtype))
+  elems = (A, b)
+  combine = _affine_combine_ab
+  if V is not None:
+    idents = idents + (jnp.zeros((d, d), dtype=A.dtype),)
+    elems = elems + (V,)
+    combine = _affine_combine_lane
+  n = len(elems)
+
   def _pad_id(x, ident):
     if not pad:
       return x
     tail = jnp.broadcast_to(ident[..., None], x.shape[:-1] + (pad,))
     return jnp.concatenate([x, tail], axis=-1)  # identity at later times
 
-  eye = jnp.eye(d, dtype=A.dtype)
-  A_p = _pad_id(A, eye)
-  b_p = _pad_id(b, jnp.zeros((d, 1), dtype=A.dtype))
-  V_p = _pad_id(V, jnp.zeros((d, d), dtype=A.dtype))
+  padded = tuple(_pad_id(x, i) for x, i in zip(elems, idents))
 
   # t = c*M + m  ->  [m, :, :, c] layout (m leading for free scan slicing)
   def to_mc(x):
     r = x.reshape(x.shape[:-1] + (C, M))
     return jnp.moveaxis(r, -1, 0)
 
-  Am, bm, Vm = to_mc(A_p), to_mc(b_p), to_mc(V_p)
+  elems_m = tuple(to_mc(x) for x in padded)
 
   def step(carry, elem):
-    new = _affine_combine_lane(carry, elem)
+    new = combine(carry, elem)
     return new, new
 
-  ident = (jnp.broadcast_to(eye[:, :, None], (d, d, C)),
-           jnp.zeros((d, 1, C), dtype=A.dtype),
-           jnp.zeros((d, d, C), dtype=A.dtype))
-  totals, S1 = jax.lax.scan(step, ident, (Am, bm, Vm), reverse=True)
+  ident = tuple(jnp.broadcast_to(i[..., None], i.shape + (C,))
+                for i in idents)
+  totals, S1 = jax.lax.scan(step, ident, elems_m, reverse=True)
 
   # exclusive suffix of the C chunk totals (later chunks = higher c)
-  incl = jax.lax.associative_scan(_affine_combine_lane, totals,
-                                  reverse=True, axis=2)
+  incl = jax.lax.associative_scan(combine, totals, reverse=True, axis=2)
   excl = tuple(
       jnp.concatenate([x[..., 1:], jnp.broadcast_to(i[..., None],
                                                     x.shape[:-1] + (1,))],
                       axis=-1)
-      for x, i in zip(incl, (eye, jnp.zeros((d, 1), dtype=A.dtype),
-                             jnp.zeros((d, d), dtype=A.dtype))))
+      for x, i in zip(incl, idents))
 
   # outer chunk suffix wraps each within-chunk suffix
-  out_m = jax.vmap(_affine_combine_lane,
-                   in_axes=((None, None, None), (0, 0, 0)))(excl, S1)
+  out_m = jax.vmap(combine, in_axes=((None,) * n, (0,) * n))(excl, S1)
 
   def from_mc(x):
     r = jnp.moveaxis(x, 0, -1)                 # (..., C, M)
@@ -214,7 +218,8 @@ def _suffix_scan_lane(A, b, V, n_lanes: int = 128):
 
 
 def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
-                        P_post, t, norm_quats: bool = False, dts=None):
+                        P_post, t, norm_quats: bool = False, dts=None,
+                        refine: int | None = None):
   """Parallel-in-time RTS via associative scan (O(log T) depth).
 
   Derivation: let e_k = inv_err(x_{k|k}, x_{k|T}) be the smoothed correction
@@ -230,16 +235,61 @@ def rts_smooth_parallel(spec: FilterSpec, params, x_pred, P_pred, x_post,
       D_k = C_k·(P_{k+1|k+1} − P_{k+1|k})·C_k^T + C_k·D_{k+1}·C_k^T.
 
   Both are first-order affine recurrences, combined associatively. Exact for
-  additive error states (matches `rts_smooth` to roundoff); first-order in the
-  error state for ESKF specs.
+  additive error states (matches `rts_smooth` to roundoff). For ESKF specs
+  the mean recursion composes tangent-space corrections additively, which is
+  first-order in the correction size: on a live_kf trajectory with large
+  attitude corrections the one-shot result drifts from the sequential
+  smoother (measured up to ~0.5 in quaternion components on a
+  weakly-observable-attitude stream; tests/test_rts_live.py).
+
+  `refine` fixes that with Newton passes: the exact recursion is
+  e_k = C_k·v(e_{k+1}) with v(e) = inv_err(x_pred, inject(x_post, e)) (the
+  spec's own err/inv_err — generic for any error state). Each pass
+  linearizes v around the current iterate ê (J_v = ∂v/∂e by jacfwd) and
+  re-solves the resulting affine recursion
+
+      e_k = C_k·(v(ê_{k+1}) − J_v·ê_{k+1}) + (C_k·J_v)·e_{k+1}
+
+  exactly with one more (A, b)-only associative scan. The fixed point IS
+  the sequential recursion, and convergence is Newton-quadratic near it
+  (measured on a cold-start weakly-observable live stream: one-shot dev
+  4.3e-1 → 9.8e-2 after 3, 2.4e-4 after 6, f64 floor ~1e-8 after 8 passes;
+  warm trajectories converge in 1-2). A plain Picard pass (A = C_k held
+  fixed) DIVERGES on that stream — the (I−L)^{-1} amplification over a
+  weakly-damped horizon beats the small per-step nonlinearity — hence the
+  re-linearized A matrices. Each pass costs one jacfwd sweep + d^3 T
+  products + a gain-free scan; the Cholesky gains pass is not repeated.
+
+  Refinement REQUIRES float64: each pass recomputes the residual
+  v = inv_err(x_pred, x̂) between nearly-equal states, a catastrophic
+  cancellation at ECEF scale in float32 (6.4e6 m quantizes at ~0.5 m) that
+  the scan then amplifies across the horizon (measured: refine=2 at f32
+  turns a 0.3 deviation into 27). In float32 the SEQUENTIAL smoother is
+  itself roundoff-limited on live logs (measured 0.26 relative deviation
+  from the f64 oracle, tests/test_rts_live.py) — there is no accuracy for
+  refinement to recover, and the one-shot parallel pass is already within
+  that same f32 noise floor. Default: 2 for ESKF specs in float64, 0 for
+  float32 and for additive specs (already exact: v ≡ u+e, so a pass
+  reproduces the one-shot answer identically).
   """
   with jax.default_matmul_precision('float32'):  # see core/step.py note
     return _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post,
-                                     P_post, t, norm_quats, dts)
+                                     P_post, t, norm_quats, dts, refine)
+
+
+def _affine_combine_ab(a, b):
+  """(A, b)-only variant of _affine_combine_lane for refinement passes
+  (the covariance suffix products are exact on the first pass and are not
+  re-run)."""
+  from rednose_tpu.ops.lane_bank import _matmul_ll
+
+  A_a, b_a = a
+  A_b, b_b = b
+  return _matmul_ll(A_b, A_a), _matmul_ll(A_b, b_a) + b_b
 
 
 def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
-                              t, norm_quats, dts=None):
+                              t, norm_quats, dts=None, refine=None):
   d1, d2 = spec.dim_main, spec.dim_main_err
   T = x_post.shape[0]
   if dts is None:
@@ -275,7 +325,8 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
   # Backward suffix combine over elements k = 0..T-2 (time on lanes):
   # chunked two-level scan for long logs (see _suffix_scan_lane), plain
   # associative scan for short ones (chunking overhead not worth it).
-  if C_l.shape[-1] >= 512:
+  chunked = C_l.shape[-1] >= 512
+  if chunked:
     A_acc, e_acc_l, D_acc_l = _suffix_scan_lane(C_l, b_l, V_l)
   else:
     A_acc, e_acc_l, D_acc_l = jax.lax.associative_scan(
@@ -293,6 +344,35 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
       x_s = normalize_slices(x_s, spec.quaternion_idxs)
     return x_s
 
+  # Newton refinement passes (docstring): linearize the exact composition
+  # v(e) = inv_err(x_pred, inject(x_post, e)) around the current iterate
+  # and re-solve the affine recursion e_k = C_k(v(ê) − J_v ê) + C_k J_v e
+  # exactly with a gain-free (A, b) suffix scan.
+  f64 = x_post.dtype == jnp.float64
+  n_refine = (2 if (spec.is_eskf and f64) else 0) if refine is None else refine
+  for _ in range(n_refine if T > 2 else 0):
+    # smoothed states at times 1..T-1 from the current corrections
+    xs_mid = jax.vmap(inject)(x_post[1:-1], e_acc[1:])
+    x_hat_next = jnp.concatenate([xs_mid, x_post[T - 1:]], axis=0)
+    v_l = jax.vmap(lambda xp, xh: spec.inv_err(params, xp, xh),
+                   out_axes=1)(x_pred[1:], x_hat_next)[:d2]  # (d2, T-1)
+    # ê_{k+1}: current correction one step later (ê_{T-1} = 0)
+    e_shift = jnp.concatenate(
+        [e_acc[1:], jnp.zeros((1, d2), dtype=e_acc.dtype)], axis=0)
+    Jv = jax.vmap(
+        lambda xp, xpo, eh: jax.jacfwd(
+            lambda e: spec.inv_err(params, xp, inject(xpo, e))[:d2])(eh),
+        out_axes=2)(x_pred[1:], x_post[1:], e_shift)  # (d2, d2, T-1)
+    A_ref = _matmul_ll(C_l, Jv)
+    Jv_e = sum(Jv[:, j] * e_shift[:, j][None, :] for j in range(d2))
+    b_ref = _matmul_ll(C_l, (v_l - Jv_e)[:, None])  # (d2, 1, T-1)
+    if chunked:
+      _, e_acc_l = _suffix_scan_lane(A_ref, b_ref)
+    else:
+      _, e_acc_l = jax.lax.associative_scan(
+          _affine_combine_ab, (A_ref, b_ref), reverse=True, axis=2)
+    e_acc = e_acc_l[:, 0].T
+
   xs = jax.vmap(inject)(x_post[:-1], e_acc)
   Ps = P_post[:-1].at[:, :d2, :d2].add(D_acc)
   Ps = 0.5 * (Ps + jnp.swapaxes(Ps, -1, -2))  # f32 conditioning
@@ -302,14 +382,17 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_rts(spec: FilterSpec, norm_quats: bool, parallel: bool):
-  fn = rts_smooth_parallel if parallel else rts_smooth
-  return jax.jit(functools.partial(fn, spec, norm_quats=norm_quats))
+def _jit_rts(spec: FilterSpec, norm_quats: bool, parallel: bool,
+             refine: int | None = None):
+  if parallel:
+    return jax.jit(functools.partial(rts_smooth_parallel, spec,
+                                     norm_quats=norm_quats, refine=refine))
+  return jax.jit(functools.partial(rts_smooth, spec, norm_quats=norm_quats))
 
 
 def smooth_estimates(spec: FilterSpec, params, estimates,
                      norm_quats: bool = False, parallel: bool = False,
-                     dtype=None):
+                     dtype=None, refine: int | None = None):
   """Driver-facing entry point consuming a list of 9-tuple Estimates
   (reference signature: ekf_sym.py:651 rts_smooth(estimates, norm_quats)).
 
@@ -330,7 +413,7 @@ def smooth_estimates(spec: FilterSpec, params, estimates,
   # difference timestamps on the host in float64: epoch-scale t cast to f32
   # first would quantize dt (see runtime/scan.py pad_log)
   dts = jnp.asarray(t64[1:] - t64[:-1], dtype=dtype)
-  fn = _jit_rts(spec, norm_quats, parallel)  # cached compiled program
+  fn = _jit_rts(spec, norm_quats, parallel, refine)  # cached compiled program
   xs, Ps = fn(params, x_pred, P_pred, x_post, P_post, t, dts=dts)
   xs = np.asarray(xs)
   Ps = np.asarray(Ps)
@@ -339,13 +422,13 @@ def smooth_estimates(spec: FilterSpec, params, estimates,
 
 def rts_smooth_parallel_bank(spec: FilterSpec, params, x_pred, P_pred,
                              x_post, P_post, t, norm_quats: bool = False,
-                             dts=None):
+                             dts=None, refine: int | None = None):
   """Smooth a BANK of trajectories in one program: all arguments gain a
   leading bank axis B (x_* (B, T, dim_x), P_* (B, T, d, d), t (B, T)) and
   the O(log T) parallel-in-time pass vmaps over it — B x T smoothing as a
   single XLA computation, the offline analog of the filter banks."""
   fn = functools.partial(rts_smooth_parallel, spec, params,
-                         norm_quats=norm_quats)
+                         norm_quats=norm_quats, refine=refine)
   if dts is None:
     return jax.vmap(lambda *a: fn(*a))(x_pred, P_pred, x_post, P_post, t)
   return jax.vmap(lambda *a: fn(*a[:-1], dts=a[-1]))(

@@ -1,0 +1,141 @@
+"""Entry-level slab step (ops/entry_slab.py) parity vs the core/step.py
+oracle — the automatic minimal-kernel path for arbitrary specs (reference
+codegen promise: rednose/helpers/ekf_sym.py:76-89)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rednose_tpu.core import step as step_ops
+from rednose_tpu.models.kinematic import KinematicKalman
+from rednose_tpu.models.kinematic import ObservationKind as KK
+from rednose_tpu.models.live import LiveKalman, ObservationKind as LK
+from rednose_tpu.ops import entry_slab, pallas_bank, sparsity
+
+
+def _rand_bank(spec, x0, B, seed=0):
+  rng = np.random.RandomState(seed)
+  xs = sparsity.sample_states(spec, x0, B, seed=seed + 1)
+  d = spec.dim_err
+  Ps = []
+  for _ in range(B):
+    A = rng.randn(d, d) * 0.1
+    Ps.append(A @ A.T + np.eye(d))
+  return xs, np.stack(Ps)
+
+
+def _oracle_step(spec, kind, x, P, Q, R, z, dt, gate):
+  om = spec.obs[kind]
+  if gate and not om.maha_test:
+    om = dataclasses.replace(om, maha_test=True)
+    spec = dataclasses.replace(spec, obs={**dict(spec.obs), kind: om})
+  xp, Pp = step_ops.predict(spec, {}, x, P, Q, dt)
+  ea = jnp.zeros((max(om.ea_len, 1),), x.dtype)
+  return step_ops.update(spec, kind, {}, xp, Pp, z, R, ea)
+
+
+def _check_parity(spec, kind, x0, q_diag_np, R_np, B=16, gate=True,
+                  tol=5e-6):
+  st = sparsity.detect_structure(spec, x0)
+  dtype = jnp.float32
+  xs, Ps = _rand_bank(spec, x0, B)
+  x_slab = jnp.asarray(xs.T, dtype)
+  P_slab = jnp.asarray(Ps.transpose(1, 2, 0), dtype)
+  rng = np.random.RandomState(7)
+  dz = spec.obs[kind].dz
+  z = jnp.asarray(np.asarray(x0)[:dz][:, None] + rng.randn(dz, B), dtype)
+  q_diag = tuple(float(v) for v in q_diag_np)
+  r_mat = tuple(tuple(float(v) for v in row) for row in R_np)
+  dt = jnp.asarray(0.01, dtype)
+
+  xn, Pn, y = jax.jit(lambda x, P, z, dt: entry_slab.entry_step_slab(
+      spec, kind, {}, x, P, z, q_diag, r_mat, dt, st, gate=gate))(
+      x_slab, P_slab, z, dt)
+
+  Q = jnp.asarray(np.diag(q_diag_np), dtype)
+  R = jnp.asarray(R_np, dtype)
+  for i in range(B):
+    xo, Po, yo = _oracle_step(spec, kind, x_slab[:, i], P_slab[:, :, i], Q,
+                              R, z[:, i], dt, gate)
+    scale = float(jnp.abs(xo).max())
+    assert float(jnp.abs(xo - xn[:, i]).max()) < tol * max(scale, 1.0)
+    assert float(jnp.abs(Po - Pn[:, :, i]).max()) < tol * 100
+    assert float(jnp.abs(yo - y[:, i]).max()) < tol * 100
+
+
+def test_entry_step_matches_oracle_live():
+  """The unmodified live 23/22 ESKF spec through the entry-level body."""
+  _check_parity(LiveKalman.build_spec(), LK.ECEF_POS, LiveKalman.initial_x,
+                np.diag(LiveKalman.Q), np.diag([25.0] * 3))
+
+
+def test_entry_step_matches_oracle_live_gyro():
+  """A second kind (rotation-chain H with bias/offset coupling)."""
+  _check_parity(LiveKalman.build_spec(), LK.PHONE_GYRO,
+                LiveKalman.initial_x, np.diag(LiveKalman.Q),
+                np.diag([0.025**2] * 3), gate=False)
+
+
+def test_entry_step_matches_oracle_kinematic():
+  """Additive branch (no f_err): d f / d x taps."""
+  _check_parity(KinematicKalman.build_spec(), KK.POSITION,
+                KinematicKalman.initial_x, np.diag(KinematicKalman.Q),
+                np.atleast_2d(0.1**2))
+
+
+def test_entry_step_matches_oracle_sympy_frontend():
+  """A MIGRATED (sympy-lambdified) spec reaches the entry-level fast path:
+  the structural interpreter absorbs lambdify's (n, 1) matrix reshapes at
+  the object level, so frontend-built specs are no longer locked out of
+  the kernel body (round-2 verdict item 5)."""
+  import sympy as sp
+
+  from rednose_tpu.frontend.sympy_spec import spec_from_sympy
+
+  x_sym = sp.MatrixSymbol('x', 2, 1)
+  xm = sp.Matrix(x_sym)
+  dt = sp.Symbol('dt')
+  f_sym = sp.Matrix([xm[0, 0] + dt * xm[1, 0], xm[1, 0]])
+  obs_eqs = [[sp.Matrix([xm[0, 0]]), int(KK.POSITION), None]]
+  spec = spec_from_sympy('sympy_entry', f_sym, dt, x_sym, obs_eqs, 2, 2)
+  _check_parity(spec, int(KK.POSITION), KinematicKalman.initial_x,
+                np.diag(KinematicKalman.Q), np.atleast_2d(0.1**2))
+
+
+def test_entry_kernel_interpret_matches_oracle_live():
+  """The entry-level body inside the actual Pallas kernel (interpret mode;
+  the real-TPU compile is exercised by BENCH_MODEL=generic)."""
+  spec = LiveKalman.build_spec()
+  st = sparsity.detect_structure(spec, LiveKalman.initial_x)
+  dtype = jnp.float32
+  B, T = 16, 4
+  xs, Ps = _rand_bank(spec, LiveKalman.initial_x, B)
+  x = jnp.asarray(xs, dtype)
+  P_lane = jnp.asarray(Ps.transpose(1, 2, 0), dtype)
+  rng = np.random.RandomState(3)
+  zs = jnp.asarray(LiveKalman.initial_x[:3] + rng.randn(T, B, 3), dtype)
+  dts = jnp.full((T,), 0.01, dtype)
+  q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
+  r_mat = tuple(tuple(float(v) for v in row) for row in np.diag([25.0] * 3))
+
+  xp, Pp = pallas_bank.pack_bank(x, P_lane)
+  zsp = pallas_bank.pack_bank_measurements(zs)
+  xo_p, Po_p = pallas_bank.generic_bank_scan(
+      xp, Pp, zsp, dts, spec=spec, kind=LK.ECEF_POS, q_diag=q_diag,
+      r_mat=r_mat, gate=True, t_chunk=2, tile_b=8, interpret=True,
+      structure=st, entry=True)
+  x_out, P_out = pallas_bank.unpack_bank(xo_p, Po_p)
+
+  Q = jnp.asarray(LiveKalman.Q, dtype)
+  R = jnp.asarray(np.diag([25.0] * 3), dtype)
+  for i in range(B):
+    xi, Pi = x[i], P_lane[:, :, i]
+    for t in range(T):
+      xi, Pi, _ = _oracle_step(spec, LK.ECEF_POS, xi, Pi, Q, R, zs[t, i],
+                               dts[t], True)
+    assert float(jnp.abs(xi - x_out[i]).max()) < 1e-4 * max(
+        float(jnp.abs(xi).max()), 1.0)
+    assert float(jnp.abs(Pi - P_out[:, :, i]).max()) < 1e-3
