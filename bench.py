@@ -1,43 +1,59 @@
 #!/usr/bin/env python3
-"""North-star benchmark: 16k-wide kinematic EKF bank with Mahalanobis gating,
-fused Pallas scan kernel (BASELINE.json "configs" item 3).
+"""Driver-captured benchmarks, printed as ONE json line.
 
-Metric: fused predict+update steps/sec/chip over the whole (T x B) workload.
-Baseline target (BASELINE.json "north_star"): 10M steps/sec/chip.
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Default (`python bench.py`): runs the FULL flagship sweep — the kinematic
+north-star bank (headline metric, BASELINE.json "north_star" 10M
+steps/sec/chip), the fused live ESKF kernel, the heterogeneous mixed-kind
+schedule, the entry-level generic kernel on the unmodified live spec, and
+the parallel-in-time smoother — and folds the secondary configs into an
+"extra" dict inside the single JSON line. A config that fails records its
+error string instead of aborting the sweep.
 
-BENCH_MODEL=live benchmarks the generic vmapped path on the flagship 23/22-dim
-live_kf ESKF bank instead (secondary config, BASELINE.json item 2).
+`BENCH_MODEL=live|generic|rts python bench.py` runs just that config and
+prints it as the headline (the round-2 interface, kept for the verify
+drives); BENCH_LIVE_PATH / BENCH_GENERIC_PATH select sub-paths as before.
+
+All timings use the scalar-sync method (CLAUDE.md): the jitted program
+returns a scalar that is float()ed, because block_until_ready is
+unreliable through the axon relay; k applications are chained inside one
+jit to amortize the ~28 ms relay round trip.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
 BASELINE_STEPS_PER_SEC = 10e6
 
-B = int(os.environ.get("BENCH_BANK", 16384))
-T = int(os.environ.get("BENCH_STEPS", 4096))
-TILE_B = int(os.environ.get("BENCH_TILE_B", 8192))
-T_CHUNK = int(os.environ.get("BENCH_T_CHUNK", 128))
 REPS = int(os.environ.get("BENCH_REPS", 3))
-# applications chained inside one dispatch: amortizes the host->device
-# dispatch latency (which on a relayed TPU is ~30ms, 10x the kernel itself)
-CHAIN = int(os.environ.get("BENCH_CHAIN", 16))
 
 
 def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def bench_live_bank():
+def _time_chain(chain, args, reps=None):
+  """Compile + warm up, then best-of-reps wall time of one chained call."""
+  val = float(chain(*args))
+  assert np.isfinite(val), "non-finite filter state"
+  times = []
+  for _ in range(reps or REPS):
+    t0 = time.perf_counter()
+    float(chain(*args))
+    times.append(time.perf_counter() - t0)
+  return min(times)
+
+
+def bench_live_bank(path=None):
   """Live 23/22 ESKF bank, fused Pallas kernel (ops/pallas_live.py): the
   bank state stays VMEM-resident across the whole scan while measurements
-  stream from HBM. BENCH_LIVE_PATH=lane benchmarks the generic pure-jnp
-  lane-major path (ops/lane_bank.py) instead."""
+  stream from HBM. path='lane' benchmarks the generic pure-jnp lane-major
+  path (ops/lane_bank.py) instead; 'mixed' the heterogeneous 4-kind
+  schedule."""
   import jax
   import jax.numpy as jnp
 
@@ -45,7 +61,8 @@ def bench_live_bank():
   from rednose_tpu.ops import lane_bank, pallas_live
   from rednose_tpu.runtime import bank as bank_ops
 
-  path = os.environ.get("BENCH_LIVE_PATH", "pallas")  # |mixed|lane|lane_sparse
+  if path is None:
+    path = os.environ.get("BENCH_LIVE_PATH", "pallas")  # |mixed|lane|lane_sparse
   fused = path in ("pallas", "mixed")
   B = int(os.environ.get("BENCH_BANK", 8192 if fused else 1024))
   T = int(os.environ.get("BENCH_STEPS", 1024 if fused else 256))
@@ -96,7 +113,6 @@ def bench_live_bank():
       r_mat = tuple(tuple(float(v) for v in row) for row in np.asarray(R))
       zsp = pallas_live.pack_measurements(zs)
 
-      # scalar output forces a true device sync through the relay
       @jax.jit
       def chain(xp, Pp, zsp):
         for _ in range(chain_n):
@@ -123,43 +139,33 @@ def bench_live_bank():
 
     args = (state.x, P0, zs)
 
-  val = float(chain(*args))
-  assert np.isfinite(val), "non-finite filter state"
-  times = []
-  for _ in range(REPS):
-    t0 = time.perf_counter()
-    float(chain(*args))
-    times.append(time.perf_counter() - t0)
-  best = min(times)
+  best = _time_chain(chain, args)
   steps_per_sec = (B * T * chain_n) / best
   log(f"live {path} bank B={B}: best {best*1e3:.2f} ms for {chain_n} chained "
       f"scans -> {steps_per_sec/1e6:.2f}M steps/s")
-  print(json.dumps({
+  return {
       "metric": f"live_eskf_bank_predict_update_throughput_{path}",
       "value": round(steps_per_sec, 1),
       "unit": "steps/sec/chip",
       "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-  }))
+  }
 
 
-def bench_generic():
-  """Generic VMEM-resident kernel (ops/pallas_bank.py) on the UNMODIFIED
-  live spec — no hand-derivation. BENCH_GENERIC_PATH=sparse (default) uses
-  auto-detected structural sparsity (ops/sparsity.py: masked F P F^T +
-  composed-H columns via jvp); =dense runs the dense jacfwd products.
-
-  KNOWN LIMIT (see PARITY.md): the live spec's in-kernel trace currently
-  exceeds the remote Mosaic compile helper's memory (SIGKILL after ~10 min)
-  even on the sparse path; this config is the tracking benchmark for that
-  frontier, not a working number. Live-scale production banks use
-  BENCH_MODEL=live (the hand-derived kernel, ~150M steps/s)."""
+def bench_generic(path=None):
+  """Entry-level generic VMEM-resident kernel (ops/pallas_bank.py +
+  ops/entry_slab.py) on the UNMODIFIED live spec — no hand-derivation:
+  the round-2 'automatic minimal kernels for any model' gap, closed.
+  BENCH_GENERIC_PATH=dense runs the dense jacfwd body instead (small
+  specs only); default 'sparse' uses the detected structure with the
+  entry-level body."""
   import jax
   import jax.numpy as jnp
 
   from rednose_tpu.models.live import LiveKalman, ObservationKind as K
   from rednose_tpu.ops import pallas_bank, sparsity
 
-  path = os.environ.get("BENCH_GENERIC_PATH", "sparse")
+  if path is None:
+    path = os.environ.get("BENCH_GENERIC_PATH", "sparse")
   B = int(os.environ.get("BENCH_BANK", 8192))
   T = int(os.environ.get("BENCH_STEPS", 512))
   tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
@@ -173,7 +179,6 @@ def bench_generic():
         f"pos-H cols {structure.cols_for(K.ECEF_POS)}")
 
   dtype = jnp.float32
-  rng = np.random.RandomState(0)
   x0 = np.tile(LiveKalman.initial_x, (B, 1))
   P0 = np.tile(np.diag(LiveKalman.initial_P_diag), (B, 1, 1))
   zs = jnp.asarray(LiveKalman.initial_x[0:3], dtype) + \
@@ -194,36 +199,29 @@ def bench_generic():
           structure=structure)
     return jnp.sum(xp) + jnp.sum(Pp)
 
-  log(f"compiling generic {path} kernel (in-kernel jacfwd of a "
-      f"{spec.dim_err}-dim spec: first compile is minutes-scale)...")
-  val = float(chain(xp, Pp, zsp))
-  assert np.isfinite(val), "non-finite filter state"
-  times = []
-  for _ in range(REPS):
-    t0 = time.perf_counter()
-    float(chain(xp, Pp, zsp))
-    times.append(time.perf_counter() - t0)
-  best = min(times)
+  log(f"compiling generic {path} kernel (entry-level body of the "
+      f"{spec.dim_err}-dim live spec: first compile is minutes-scale)...")
+  best = _time_chain(chain, (xp, Pp, zsp))
   steps_per_sec = (B * T * chain_n) / best
   log(f"generic {path} live bank B={B}: best {best*1e3:.2f} ms for "
       f"{chain_n} chained scans -> {steps_per_sec/1e6:.2f}M steps/s")
-  print(json.dumps({
+  return {
       "metric": f"live_generic_kernel_throughput_{path}",
       "value": round(steps_per_sec, 1),
       "unit": "steps/sec/chip",
       "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-  }))
+  }
 
 
 def bench_rts():
-  """Third config (BASELINE.json item 5): offline RTS smoothing of a live_kf
-  log — sequential lax.scan backward pass vs the O(log T) parallel-in-time
-  associative scan, both fully on device."""
+  """Offline RTS smoothing of a live_kf log — sequential lax.scan backward
+  pass vs the O(log T) parallel-in-time associative scan, both fully on
+  device (f32 production path: refine defaults 0, see smoothing/rts.py)."""
   import jax
   import jax.numpy as jnp
 
   from rednose_tpu.models.live import LiveKalman, ObservationKind as K
-  from rednose_tpu.runtime.scan import build_scan_stream, PAD_R
+  from rednose_tpu.runtime.scan import build_scan_stream
   from rednose_tpu.smoothing import rts
 
   T = int(os.environ.get("BENCH_STEPS", 8192))
@@ -252,9 +250,7 @@ def bench_rts():
       dts, ki, zs, Rs, eas))
 
   def timed(fn, chain_n):
-    # chain n independent applications inside one jit so the ~28 ms relay
-    # round trip amortizes (CLAUDE.md scalar-sync rule); the tiny input
-    # perturbation defeats CSE between the chained calls
+    # the tiny input perturbation defeats CSE between the chained calls
     def chained(p, xp, Pp, xf, Pf, t):
       s = jnp.asarray(0.0, dtype)
       for i in range(chain_n):
@@ -264,13 +260,7 @@ def bench_rts():
 
     f = jax.jit(chained)
     args = ({}, x_pred, P_pred, x_post, P_post, ts)
-    float(f(*args))
-    times = []
-    for _ in range(REPS):
-      t0 = time.perf_counter()
-      float(f(*args))
-      times.append(time.perf_counter() - t0)
-    return min(times) / chain_n
+    return _time_chain(f, args) / chain_n
 
   t_seq = timed(lambda p, *a: rts.rts_smooth(spec, p, *a, norm_quats=True),
                 chain_n=1)  # 350 ms >> RTT: no chaining needed
@@ -279,20 +269,30 @@ def bench_rts():
       chain_n=4)
   log(f"rts T={T}: sequential {t_seq*1e3:.1f} ms, parallel {t_par*1e3:.1f} ms"
       f" ({t_seq/t_par:.1f}x)")
-  print(json.dumps({
+  return {
       "metric": "live_rts_parallel_smoother_throughput",
       "value": round(T / t_par, 1),
       "unit": "smoothed steps/sec/chip",
       "vs_baseline": round(t_seq / t_par, 3),  # speedup over sequential
-  }))
+  }
 
 
-def main():
+def bench_kinematic():
+  """North-star config: 16k-wide kinematic EKF bank with Mahalanobis
+  gating, fused Pallas scan kernel (BASELINE.json "configs" item 3)."""
   import jax
   import jax.numpy as jnp
 
   from rednose_tpu.models.kinematic import KinematicKalman
   from rednose_tpu.ops import pallas_step
+
+  B = int(os.environ.get("BENCH_BANK", 16384))
+  T = int(os.environ.get("BENCH_STEPS", 4096))
+  TILE_B = int(os.environ.get("BENCH_TILE_B", 8192))
+  T_CHUNK = int(os.environ.get("BENCH_T_CHUNK", 128))
+  # applications chained inside one dispatch: amortizes the host->device
+  # dispatch latency (which on a relayed TPU is ~30ms, 10x the kernel)
+  CHAIN = int(os.environ.get("BENCH_CHAIN", 16))
 
   dev = jax.devices()[0]
   log(f"device: {dev}, bank={B}, steps={T}, tile_b={TILE_B}, t_chunk={T_CHUNK}")
@@ -310,9 +310,6 @@ def main():
   rs = jnp.full((T,), 0.1**2, dtype=dtype)
   Q = KinematicKalman.Q
 
-  # scalar output + float() forces a true device sync through the axon
-  # relay; block_until_ready alone can return before the device finishes
-  # (CLAUDE.md timing rules — same method as bench_live_bank)
   @jax.jit
   def chain(s, zs):
     for _ in range(CHAIN):
@@ -321,36 +318,66 @@ def main():
           t_chunk=T_CHUNK, tile_b=TILE_B)
     return jnp.sum(s)
 
-  # compile + warmup; a finite sum certifies a finite filter state
-  # (any NaN/inf propagates into the reduction)
-  val = float(chain(packed, zs))
-  assert np.isfinite(val), "non-finite filter state"
-
-  times = []
-  for _ in range(REPS):
-    t0 = time.perf_counter()
-    float(chain(packed, zs))
-    times.append(time.perf_counter() - t0)
-  best = min(times)
+  best = _time_chain(chain, (packed, zs))
   steps_per_sec = (B * T * CHAIN) / best
-  log(f"times: {[f'{t*1e3:.2f}ms' for t in times]}; best {best*1e3:.3f} ms "
-      f"for {CHAIN} applications -> {steps_per_sec/1e6:.1f}M steps/s")
-
-  print(json.dumps({
+  log(f"kinematic: best {best*1e3:.3f} ms for {CHAIN} applications -> "
+      f"{steps_per_sec/1e6:.1f}M steps/s")
+  return {
       "metric": "kinematic_bank_fused_predict_update_throughput",
       "value": round(steps_per_sec, 1),
       "unit": "steps/sec/chip",
       "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-  }))
+  }
+
+
+def main():
+  model = os.environ.get("BENCH_MODEL", "")
+  if model == "live":
+    print(json.dumps(bench_live_bank()))
+    return
+  if model == "generic":
+    print(json.dumps(bench_generic()))
+    return
+  if model == "rts":
+    print(json.dumps(bench_rts()))
+    return
+  if model == "kinematic":
+    print(json.dumps(bench_kinematic()))
+    return
+
+  # Full driver-captured sweep: kinematic headline + every flagship config
+  # in "extra". A failing config records its error instead of aborting,
+  # and a soft wall-clock budget skips the tail rather than risking the
+  # whole JSON line (first Mosaic compiles through the relay are
+  # minutes-scale: fused live ~4 min, entry-level generic ~25 min).
+  start = time.perf_counter()
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", 5400))
+  result = bench_kinematic()
+  extra = {}
+  sweep = (
+      ("live_fused", lambda: bench_live_bank(path="pallas")),
+      ("live_mixed", lambda: bench_live_bank(path="mixed")),
+      ("rts", bench_rts),
+      ("generic_entry", lambda: bench_generic(path="sparse")),
+  )
+  skip = set(os.environ.get("BENCH_SKIP", "").split(",")) - {""}
+  for name, fn in sweep:
+    elapsed = time.perf_counter() - start
+    if name in skip or elapsed > 0.6 * budget_s:
+      extra[name] = {"skipped": True,
+                     "reason": "env" if name in skip else
+                     f"budget ({elapsed:.0f}s elapsed of {budget_s:.0f}s)"}
+      continue
+    t0 = time.perf_counter()
+    try:
+      extra[name] = fn()
+    except Exception as e:  # noqa: BLE001 - sweep must survive any config
+      log(traceback.format_exc())
+      extra[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    extra[name]["wall_s"] = round(time.perf_counter() - t0, 1)
+  result["extra"] = extra
+  print(json.dumps(result))
 
 
 if __name__ == "__main__":
-  model = os.environ.get("BENCH_MODEL", "kinematic")
-  if model == "live":
-    bench_live_bank()
-  elif model == "generic":
-    bench_generic()
-  elif model == "rts":
-    bench_rts()
-  else:
-    main()
+  main()
