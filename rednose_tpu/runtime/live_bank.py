@@ -21,10 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from rednose_tpu.models.live import LiveKalman, ObservationKind
 from rednose_tpu.ops import live_lane, pallas_live
 from rednose_tpu.runtime.bank import BankState
 from rednose_tpu.runtime.checkpoint import load_bank, save_bank
+from rednose_tpu.runtime.rewind import BankRewindRing
 
 
 def _largest_divisor(n: int, candidates) -> int:
@@ -39,7 +42,8 @@ class LiveKalmanBank:
 
   def __init__(self, batch: int, x0=None, P_diag=None, Q=None,
                dtype=jnp.float32, use_pallas: bool | None = None,
-               t0: float = 0.0):
+               t0: float = 0.0, max_rewind_age: float = 1.0,
+               ckpt_every: int = 16, ckpt_keep: int = 8, logger=logging):
     self.batch = batch
     self.dtype = dtype
     x0 = LiveKalman.initial_x if x0 is None else np.asarray(x0)
@@ -71,6 +75,11 @@ class LiveKalmanBank:
           "static diagonal scalars); pass use_pallas=False for off-diagonal "
           "process noise")
     self.use_pallas = use_pallas
+    # out-of-order support for the per-observation surface (observe()):
+    # sparse bank-state snapshots + full observation buffer
+    self.max_rewind_age = max_rewind_age
+    self.logger = logger
+    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
 
   # ------------------------------------------------------------------ state
 
@@ -125,6 +134,75 @@ class LiveKalmanBank:
     self.t = st.epoch
     return self
 
+  # --------------------------------------------------- per-observation API
+
+  _OBS_KINDS = tuple(sorted(live_lane.LANE_KINDS))
+
+  def observe(self, t, kind, z, R=None, gate: bool = False):
+    """Apply ONE timestamped observation to the whole bank with
+    driver-style out-of-order handling (reference: ekf_sym.py:464-482 /
+    ekf_sym.cc:83-156): a late observation inside the rewind window rolls
+    the bank back to the newest snapshot at-or-before t and replays the
+    buffered observations around it; older than the window it is dropped
+    (returns None). z is (B, dz) or (dz,) broadcast across lanes; R
+    defaults to LiveKalman.obs_noise[kind]. Uses the jnp lane path (one
+    compiled program serves every kind via lax.switch) — per-tick
+    streaming is dispatch-latency-bound, so the fused batch kernels stay
+    reserved for run()/run_mixed(). Snapshots cost one bank-state
+    reference every ckpt_every observations (runtime/rewind.BankRewindRing).
+    """
+    kind = int(kind)
+    assert kind in live_lane.LANE_KINDS, kind
+    if R is None:
+      R = LiveKalman.obs_noise[kind]
+    dz = live_lane.LANE_KINDS[kind][0]
+    z = np.asarray(z, dtype=np.float64)
+    if z.ndim == 1:
+      z = np.broadcast_to(z, (self.batch, z.shape[0]))
+    assert z.shape == (self.batch, dz), (z.shape, dz)
+    if dz < 3:
+      z = np.concatenate([z, np.zeros((self.batch, 3 - dz))], axis=1)
+    R = np.asarray(R, dtype=np.float64).reshape(dz, dz)
+
+    if t < self.t:  # late observation
+      if not self._ring.can_rewind(t, self.max_rewind_age):
+        self.logger.error(
+            f"bank observation too old at {t:.3f} with bank at "
+            f"{self.t:.3f}, ignoring")
+        return None
+      t_restore, (x, P), replay = self._ring.rewind(t)
+      self._x, self._P = x, P
+      self.t = t_restore
+      # insert by timestamp among the replayed observations (driver
+      # semantics: everything rewound past is re-applied in time order)
+      merged, inserted = [], False
+      for obs in replay:
+        if not inserted and obs[0] > t:
+          merged.append((t, kind, z, R, gate))
+          inserted = True
+        merged.append(obs)
+      if not inserted:
+        merged.append((t, kind, z, R, gate))
+      for obs in merged:
+        self._apply_one(*obs)
+      return self
+    self._apply_one(t, kind, z, R, gate)
+    return self
+
+  def _apply_one(self, t, kind, z, R, gate):
+    dt = max(float(t) - self.t, 0.0)
+    kinds = self._OBS_KINDS
+    R_list = tuple(
+        jnp.asarray(R if k == kind
+                    else np.eye(live_lane.LANE_KINDS[k][0]), self.dtype)
+        for k in kinds)
+    self._x, self._P = live_lane.jit_live_mixed_scan(kinds, gate=gate)(
+        self._x, self._P, self.Q, jnp.asarray([dt], self.dtype),
+        jnp.asarray([kinds.index(kind)], jnp.int32),
+        jnp.asarray(z[None], self.dtype), R_list, None)
+    self.t = float(t)
+    self._ring.record(self.t, (self._x, self._P), (self.t, kind, z, R, gate))
+
   # ------------------------------------------------------------------- runs
 
   def _tiles(self, T):
@@ -156,6 +234,7 @@ class LiveKalmanBank:
           self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
           jnp.asarray(zs, self.dtype), jnp.asarray(R, self.dtype))
     self.t += float(dts.sum())
+    self._ring.clear()  # bulk runs are not observation-addressable: no rewind across them
     return self
 
   def run_mixed(self, dts, kind_idx, zs, kinds: Sequence[int],
@@ -214,4 +293,5 @@ class LiveKalmanBank:
           jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
           R_list, rsj)
     self.t += float(dts.sum())
+    self._ring.clear()  # bulk runs are not observation-addressable: no rewind across them
     return self

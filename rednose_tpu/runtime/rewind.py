@@ -66,6 +66,89 @@ class PyRewindRing:
     return self._t[-1] if self._t else None
 
 
+class BankRewindRing:
+  """Sparse-checkpoint rewind ring for WIDE filter banks.
+
+  The single-filter ring snapshots (x, P) at every observation — free for
+  a 23-dim state, prohibitive for a B-wide bank (a live bank state is
+  ~2 MB per 1k lanes). This ring keeps the full observation buffer but
+  snapshots the bank state only every `ckpt_every` observations: a rewind
+  restores the newest snapshot at-or-before the target time and hands back
+  every buffered observation after it (oldest first), so replay re-applies
+  at most `ckpt_every - 1` extra observations instead of the ring storing
+  hundreds of bank states. Device arrays are immutable, so snapshots are
+  references, not copies (same trick as the driver ring). Rewind window:
+  ckpt_keep * ckpt_every observations back, clamped by max_rewind_age at
+  can_rewind time — mirror of ekf_sym.cc:119-156 semantics at bank scale.
+  """
+
+  def __init__(self, ckpt_every: int = 16, ckpt_keep: int = 8):
+    if ckpt_every <= 0 or ckpt_keep <= 0:
+      raise ValueError("ckpt_every and ckpt_keep must be positive")
+    self.ckpt_every = ckpt_every
+    self.ckpt_keep = ckpt_keep
+    self._since_ckpt = 0
+    self._ckpt_t: list[float] = []
+    self._ckpt_state: list = []
+    self._ckpt_idx: list[int] = []  # obs-buffer position AFTER the snapshot obs
+    self._obs_t: list[float] = []
+    self._obs: list = []
+
+  def __len__(self):
+    return len(self._obs_t)
+
+  def record(self, t: float, state, obs):
+    """Record an observation applied at time t, with `state` the bank state
+    AFTER applying it. Snapshots the state every ckpt_every records."""
+    if self._obs_t and t < self._obs_t[-1]:
+      raise ValueError("record time must be non-decreasing")
+    self._obs_t.append(t)
+    self._obs.append(obs)
+    if self._since_ckpt == 0:
+      self._ckpt_t.append(t)
+      self._ckpt_state.append(state)
+      self._ckpt_idx.append(len(self._obs_t))
+      if len(self._ckpt_t) > self.ckpt_keep:
+        # trim to the new oldest snapshot: the obs up to and including the
+        # one that produced it are never replayed (rewinds restore AT it)
+        drop = self._ckpt_idx[-self.ckpt_keep]
+        del self._ckpt_t[:-self.ckpt_keep]
+        del self._ckpt_state[:-self.ckpt_keep]
+        del self._ckpt_idx[:-self.ckpt_keep]
+        del self._obs_t[:drop], self._obs[:drop]
+        self._ckpt_idx = [i - drop for i in self._ckpt_idx]
+    self._since_ckpt = (self._since_ckpt + 1) % self.ckpt_every
+
+  def rewind(self, t: float):
+    """Roll back to the newest snapshot with time <= t. Returns
+    (t_restore, state_restore, replay_obs_oldest_first). The replayed
+    observations (and newer snapshots) are removed; the caller re-applies
+    them through record() as in the driver (ekf_sym.py:418-438)."""
+    i = bisect_right(self._ckpt_t, t) - 1
+    if i < 0:
+      raise ValueError("rewind target older than ring")
+    t_restore = self._ckpt_t[i]
+    state = self._ckpt_state[i]
+    idx = self._ckpt_idx[i]
+    del self._ckpt_t[i + 1:], self._ckpt_state[i + 1:], self._ckpt_idx[i + 1:]
+    replay = self._obs[idx:]
+    del self._obs_t[idx:], self._obs[idx:]
+    self._since_ckpt = 1  # the restored snapshot covers the current state
+    return t_restore, state, replay
+
+  def can_rewind(self, t: float, max_rewind_age: float) -> bool:
+    return (len(self._ckpt_t) > 0 and t >= self._ckpt_t[0]
+            and (not self._obs_t or t >= self._obs_t[-1] - max_rewind_age))
+
+  def clear(self):
+    self._since_ckpt = 0
+    self._ckpt_t.clear()
+    self._ckpt_state.clear()
+    self._ckpt_idx.clear()
+    self._obs_t.clear()
+    self._obs.clear()
+
+
 try:  # pragma: no cover - exercised when the extension is built
   from rednose_tpu.runtime._rewind import RewindRing as NativeRewindRing
   HAVE_NATIVE = True
