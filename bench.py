@@ -277,6 +277,76 @@ def bench_rts():
   }
 
 
+def bench_vo():
+  """Banked visual-odometry workload (BENCH_MODEL=vo): B independent
+  MSCKF VO filters, each frame = block predict + nullspace-projected
+  feature update (dz=8 -> Householder projection -> 5-dim Cholesky solve)
+  + sliding-window augment, all on the lane-major feature paths
+  (ops/lane_bank.py round-3) — the config the round-2 verdict flagged as
+  having no kernel-speed story."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.msckf_vo import (
+      ObservationKind as VK,
+      build_msckf_vo_spec,
+  )
+  from rednose_tpu.ops import lane_bank
+
+  spec = build_msckf_vo_spec()
+  kind = int(VK.MSCKF_TEST)
+  om = spec.obs[kind]
+  B = int(os.environ.get("BENCH_BANK", 4096))
+  T = int(os.environ.get("BENCH_STEPS", 128))
+  chain_n = int(os.environ.get("BENCH_CHAIN", 4))
+  dtype = jnp.float32
+  rng = np.random.RandomState(0)
+
+  x0 = np.concatenate([[0.1, -0.2, 0.05, 0.0, 0.0, 0.0][:spec.dim_main],
+                       0.3 * rng.randn(spec.n_augment * spec.dim_augment)])
+  x = jnp.asarray(np.tile(x0, (B, 1)) + 0.02 * rng.randn(B, spec.dim_x),
+                  dtype)
+  P = jnp.asarray(np.tile(np.eye(spec.dim_err)[..., None] * 0.1,
+                          (1, 1, B)), dtype)
+  Q = jnp.asarray(np.eye(spec.dim_err) * 1e-6, dtype)
+  R = jnp.asarray(np.eye(om.dz) * 0.02**2, dtype)
+  # per-frame landmark + its projected observation from the nominal state
+  eas = np.array([2.0, 1.5, 8.0])[None, None] + 0.2 * rng.randn(T, B, 3)
+  zs = np.stack([
+      np.stack([np.asarray(om.h({}, jnp.asarray(x0), jnp.asarray(e)))
+                for e in eas[t, :8]]).mean(0)[None].repeat(B, 0)
+      for t in range(T)])
+  zs = jnp.asarray(zs + 0.01 * rng.randn(*zs.shape), dtype)
+  eas_j = jnp.asarray(eas, dtype)
+
+  def frame(carry, inp):
+    xc, Pc = carry
+    z, ea = inp
+    xc, Pc = lane_bank.lane_predict(spec, {}, xc, Pc, Q, 0.05)
+    xc, Pc, _ = lane_bank.lane_update(spec, kind, {}, xc, Pc, z, R, ea=ea)
+    xc, Pc = lane_bank.lane_augment(spec, xc, Pc)
+    return (xc, Pc), None
+
+  @jax.jit
+  def chain(x, P, zs, eas):
+    s = jnp.asarray(0.0, dtype)
+    for i in range(chain_n):
+      (xf, Pf), _ = jax.lax.scan(frame, (x + 1e-6 * i, P), (zs, eas))
+      s = s + jnp.sum(xf) + jnp.sum(Pf)
+    return s
+
+  best = _time_chain(chain, (x, P, zs, eas_j))
+  frames_per_sec = (B * T * chain_n) / best
+  log(f"banked VO B={B}: best {best*1e3:.2f} ms for {chain_n} chained "
+      f"scans -> {frames_per_sec/1e6:.2f}M frames/s")
+  return {
+      "metric": "msckf_vo_bank_frame_throughput",
+      "value": round(frames_per_sec, 1),
+      "unit": "frames/sec/chip",
+      "vs_baseline": round(frames_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }
+
+
 def bench_kinematic():
   """North-star config: 16k-wide kinematic EKF bank with Mahalanobis
   gating, fused Pallas scan kernel (BASELINE.json "configs" item 3)."""
@@ -340,6 +410,9 @@ def main():
     return
   if model == "rts":
     print(json.dumps(bench_rts()))
+    return
+  if model == "vo":
+    print(json.dumps(bench_vo()))
     return
   if model == "kinematic":
     print(json.dumps(bench_kinematic()))

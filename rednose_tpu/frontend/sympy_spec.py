@@ -25,9 +25,13 @@ Input conventions (identical to gen_code, ekf_sym.py:29-113):
                here: entries of the params pytree, default 0.0 like a C global)
   extra_routines  [(name, expr, [arg_syms]), ...] (ekf_sym.py:109-113)
 
-Frontend-built specs are for the XLA paths (step/driver/banks/smoothing);
-lambdified code reshapes (n, 1) matrix args, so it is not guaranteed to
-lower inside Pallas kernels — write jnp specs directly for that.
+Frontend-built specs run on every runtime path INCLUDING the Pallas
+kernels: the generic kernel's entry-level body (ops/entry_slab.py) routes
+the lambdified functions through the structural interpreter, which absorbs
+their (n, 1) matrix reshapes at the object level (round-2's lockout is
+gone; parity: tests/test_entry_slab.py, tests/test_compat_sympy.py). The
+only remaining constraint is the kernel-wide one: scatter-free models and
+ea-free / static-scalar params on the kernel paths.
 """
 
 from __future__ import annotations

@@ -117,6 +117,105 @@ def cho_solve_lane(cols, B_):
   return jnp.stack(X)
 
 
+def cholesky_lane_blocked(A, r: int = 8):
+  """Blocked right-looking Cholesky of SPD (d, d, B) lane-major matrices.
+
+  cholesky_lane's column-at-a-time unroll has a ~d^2/2-deep chain of
+  dependent slab ops — serial-latency-bound on the VPU (CLAUDE.md). This
+  blocks the factorization: per r-wide panel, an unrolled r x r diagonal
+  factor + r-step panel substitution + ONE rank-r trailing update, cutting
+  the critical path by ~r/2 while keeping every op a big lane slab.
+  Returns the DENSE lower factor (d, d, B) consumed by
+  cho_solve_lane_blocked."""
+  d = A.shape[0]
+  S = A  # trailing submatrix, shrinking by r each panel
+  panels = []
+  for b0 in range(0, d, r):
+    rr = min(r, d - b0)
+    Ablk = S[:rr, :rr]
+    # unrolled small Cholesky of the diagonal block: Ld[j] = column j from
+    # the diagonal down, (rr - j, B)
+    Ld = []
+    for j in range(rr):
+      s = Ablk[j:, j]
+      for k in range(j):
+        s = s - Ld[k][j - k:] * Ld[k][j - k][None]
+      diag = jnp.sqrt(s[0])
+      Ld.append(jnp.concatenate([diag[None], s[1:] / diag[None]], axis=0))
+    # panel below the diagonal block: solve Lp Ld^T = P  (forward columns)
+    Lp_cols = []
+    if rr < S.shape[0]:
+      Pn = S[rr:, :rr]  # (n, rr, B)
+      for j in range(rr):
+        s = Pn[:, j]
+        for k in range(j):
+          s = s - Lp_cols[k] * Ld[k][j - k][None]
+        Lp_cols.append(s / Ld[j][0][None])
+    # assemble this panel's dense (d - b0, rr, B) block column
+    dcol = jnp.stack(
+        [jnp.concatenate([jnp.zeros((j,) + Ld[j].shape[1:], A.dtype),
+                          Ld[j]]) if j else Ld[0] for j in range(rr)],
+        axis=1)
+    if Lp_cols:
+      Lp = jnp.stack(Lp_cols, axis=1)  # (n, rr, B)
+      panel = jnp.concatenate([dcol, Lp], axis=0)
+      # rank-r trailing update: ONE slab contraction
+      S = S[rr:, rr:] - _matmul_lt(Lp, Lp)
+    else:
+      panel = dcol
+    panels.append(panel)
+  # pad each panel to full height and concatenate into the dense factor
+  full = []
+  for b0, panel in zip(range(0, d, r), panels):
+    if b0:
+      panel = jnp.concatenate(
+          [jnp.zeros((b0,) + panel.shape[1:], A.dtype), panel])
+    full.append(panel)
+  return jnp.concatenate(full, axis=1)
+
+
+def cho_solve_lane_blocked(L, B_, r: int = 8):
+  """Solve A X = B with A = L L^T from cholesky_lane_blocked; B_ (d, m, B).
+  Blocked forward/backward substitution: per panel, one slab contraction
+  for the cross-panel correction + an unrolled r-step small substitution."""
+  d = L.shape[0]
+  # forward: L Y = B
+  Y_blocks = []
+  for b0 in range(0, d, r):
+    rr = min(r, d - b0)
+    s = B_[b0:b0 + rr]
+    if Y_blocks:
+      Yprev = jnp.concatenate(Y_blocks)  # (b0, m, B)
+      s = s - _matmul_ll(L[b0:b0 + rr, :b0], Yprev)
+    rows = []
+    for i in range(rr):
+      si = s[i]
+      for k in range(i):
+        si = si - L[b0 + i, b0 + k][None] * rows[k]
+      rows.append(si / L[b0 + i, b0 + i][None])
+    Y_blocks.append(jnp.stack(rows))
+  Y = jnp.concatenate(Y_blocks)
+  # backward: L^T X = Y
+  X_blocks = []
+  starts = list(range(0, d, r))
+  for b0 in reversed(starts):
+    rr = min(r, d - b0)
+    s = Y[b0:b0 + rr]
+    if X_blocks:
+      Xnext = jnp.concatenate(X_blocks)  # rows b0+rr ... d
+      # (L^T)[b0:b0+rr, b0+rr:] @ Xnext = L[b0+rr:, b0:b0+rr]^T @ Xnext
+      s = s - _matmul_ll(jnp.swapaxes(L[b0 + rr:, b0:b0 + rr], 0, 1),
+                         Xnext)
+    rows = [None] * rr
+    for i in reversed(range(rr)):
+      si = s[i]
+      for k in range(i + 1, rr):
+        si = si - L[b0 + k, b0 + i][None] * rows[k]
+      rows[i] = si / L[b0 + i, b0 + i][None]
+    X_blocks = [jnp.stack(rows)] + X_blocks
+  return jnp.concatenate(X_blocks)
+
+
 def lane_predict(spec: FilterSpec, params, x, P, Q, dt, structure=None):
   """Bank predict: x (B, dim_x), P (dim_err, dim_err, B) lane-major.
 

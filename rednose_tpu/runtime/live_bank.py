@@ -94,8 +94,12 @@ class LiveKalmanBank:
     return jnp.transpose(self._P, (2, 0, 1))
 
   def state(self) -> BankState:
+    # per-lane t mirrors the shared bank clock (every lane steps in
+    # lockstep); consumers reading BankState.t get real filter times, and
+    # save/load keeps the f64 epoch exact alongside (r2 verdict: zeros
+    # here looked like valid filter times)
     return BankState(x=self._x, P=self.P,
-                     t=jnp.full((self.batch,), 0.0, self.dtype),
+                     t=jnp.full((self.batch,), self.t, self.dtype),
                      epoch=self.t)
 
   def diverged(self):

@@ -299,7 +299,7 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
   # lane-major (d2, d2, T) with an unrolled Cholesky solve: batched LAPACK
   # solves serialize on TPU's scalar unit (measured ~6x slower).
   from rednose_tpu.ops.lane_bank import (
-      _matmul_ll, _matmul_lt, cho_solve_lane, cholesky_lane)
+      _matmul_ll, _matmul_lt, cho_solve_lane_blocked, cholesky_lane_blocked)
 
   if spec.F_lane is not None:  # closed-form F: skips the dominant jacfwd
     F = spec.F_lane(params, x_post[:-1].T, dts)[:d2, :d2]
@@ -308,10 +308,13 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
                  out_axes=2)(x_post[:-1], dts)  # (d2, d2, T-1)
   Pk = jnp.transpose(P_post[:-1, :d2, :d2], (1, 2, 0))
   Pk1 = jnp.transpose(P_pred[1:, :d2, :d2], (1, 2, 0))
-  L = cholesky_lane(Pk1)
+  # blocked factorization/substitution: the column-at-a-time unroll was
+  # serial-latency-bound (~d^2/2 dependent slab ops on the critical path);
+  # blocking cuts the depth ~r/2 with one rank-r slab contraction per panel
+  L = cholesky_lane_blocked(Pk1)
   # solve Pk1 X = F Pk^T, then C = X^T; keep everything lane-major
   # (d2, d2, T-1) — see _affine_combine_lane on why
-  X = cho_solve_lane(L, _matmul_lt(F, Pk))
+  X = cho_solve_lane_blocked(L, _matmul_lt(F, Pk))
   C_l = jnp.swapaxes(X, 0, 1)  # C_k = X_k^T, lane-major
 
   u_l = jax.vmap(lambda xp, xf: spec.inv_err(params, xp, xf),

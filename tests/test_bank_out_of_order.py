@@ -43,6 +43,7 @@ def _run(obs, **bank_kw):
   return bank, applied
 
 
+@pytest.mark.slow
 def test_shuffled_within_window_equals_sorted():
   """Swap several observation pairs (inside the snapshot window): the bank
   must rewind + replay to the bit-identical sorted-stream state."""

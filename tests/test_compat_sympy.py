@@ -9,6 +9,7 @@ values end-to-end, and the in-repo live ESKF model function-by-function.
 """
 
 import numpy as np
+import pytest
 import sympy as sp
 
 from rednose_tpu import compat
@@ -151,6 +152,7 @@ def _live_sympy_pieces():
   return f_sym, dt, xs, obs_eqs, eskf
 
 
+@pytest.mark.slow
 def test_compat_eskf_matches_jnp_live_model():
   """sympy-frontend ESKF spec agrees with models/live.py's jnp spec on
   f, F, err, inv_err, H_mod, h/H at random states — the dual-implementation
@@ -234,6 +236,7 @@ def test_compat_global_vars_and_extra_routines():
   np.testing.assert_allclose(np.asarray(fn(np.array([0.0, 3.0]))), [6.0])
 
 
+@pytest.mark.slow
 def test_compat_msckf_matches_jnp_engine():
   """msckf_params + feature-kind obs_eqs (ea_sym, He nullspace) through the
   compat path: the sympy-restated MSCKF VO model must track the jnp model

@@ -66,12 +66,14 @@ def _check_parity(spec, kind, x0, q_diag_np, R_np, B=16, gate=True,
     assert float(jnp.abs(yo - y[:, i]).max()) < tol * 100
 
 
+@pytest.mark.slow
 def test_entry_step_matches_oracle_live():
   """The unmodified live 23/22 ESKF spec through the entry-level body."""
   _check_parity(LiveKalman.build_spec(), LK.ECEF_POS, LiveKalman.initial_x,
                 np.diag(LiveKalman.Q), np.diag([25.0] * 3))
 
 
+@pytest.mark.slow
 def test_entry_step_matches_oracle_live_gyro():
   """A second kind (rotation-chain H with bias/offset coupling)."""
   _check_parity(LiveKalman.build_spec(), LK.PHONE_GYRO,
@@ -105,6 +107,7 @@ def test_entry_step_matches_oracle_sympy_frontend():
                 np.diag(KinematicKalman.Q), np.atleast_2d(0.1**2))
 
 
+@pytest.mark.slow
 def test_entry_kernel_interpret_matches_oracle_live():
   """The entry-level body inside the actual Pallas kernel (interpret mode;
   the real-TPU compile is exercised by BENCH_MODEL=generic)."""
@@ -139,3 +142,54 @@ def test_entry_kernel_interpret_matches_oracle_live():
     assert float(jnp.abs(xi - x_out[i]).max()) < 1e-4 * max(
         float(jnp.abs(xi).max()), 1.0)
     assert float(jnp.abs(Pi - P_out[:, :, i]).max()) < 1e-3
+
+
+def test_entry_kernel_interpret_sympy_frontend():
+  """A migrated sympy spec through the ACTUAL generic Pallas kernel
+  (interpret mode): the reference bar is that every gen_code filter IS a
+  fast filter (site_scons rednose_filter.py:40-48)."""
+  import sympy as sp
+
+  from rednose_tpu.frontend.sympy_spec import spec_from_sympy
+
+  x_sym = sp.MatrixSymbol('x', 2, 1)
+  xm = sp.Matrix(x_sym)
+  dt = sp.Symbol('dt')
+  f_sym = sp.Matrix([xm[0, 0] + dt * xm[1, 0], xm[1, 0]])
+  obs_eqs = [[sp.Matrix([xm[0, 0]]), int(KK.POSITION), None]]
+  spec = spec_from_sympy('sympy_kernel', f_sym, dt, x_sym, obs_eqs, 2, 2)
+  st = sparsity.detect_structure(spec, KinematicKalman.initial_x)
+
+  dtype = jnp.float32
+  B, T = 16, 4
+  rng = np.random.RandomState(0)
+  x = jnp.asarray(np.tile(KinematicKalman.initial_x, (B, 1))
+                  + 0.1 * rng.randn(B, 2), dtype)
+  P_lane = jnp.asarray(
+      np.stack([np.diag(KinematicKalman.initial_P_diag)] * B, -1), dtype)
+  zs = jnp.asarray(rng.randn(T, B, 1) * 0.3, dtype)
+  dts = jnp.full((T,), 0.01, dtype)
+  q_diag = tuple(float(v) for v in np.diag(KinematicKalman.Q))
+  r_mat = ((0.1**2,),)
+
+  xp, Pp = pallas_bank.pack_bank(x, P_lane)
+  zsp = pallas_bank.pack_bank_measurements(zs)
+  xo_p, Po_p = pallas_bank.generic_bank_scan(
+      xp, Pp, zsp, dts, spec=spec, kind=int(KK.POSITION), q_diag=q_diag,
+      r_mat=r_mat, gate=False, t_chunk=2, tile_b=8, interpret=True,
+      structure=st, entry=True)
+  x_out, P_out = pallas_bank.unpack_bank(xo_p, Po_p)
+
+  Q = jnp.asarray(KinematicKalman.Q, dtype)
+  R = jnp.asarray([[0.1**2]], dtype)
+  ea = jnp.zeros((1,), dtype)
+  for i in range(B):
+    xi, Pi = x[i], P_lane[:, :, i]
+    for t in range(T):
+      xi, Pi = step_ops.predict(spec, {}, xi, Pi, Q, dts[t])
+      xi, Pi, _ = step_ops.update(spec, int(KK.POSITION), {}, xi, Pi,
+                                  zs[t, i], R, ea)
+    np.testing.assert_allclose(np.asarray(x_out[i]), np.asarray(xi),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P_out[:, :, i]), np.asarray(Pi),
+                               rtol=1e-4, atol=1e-6)

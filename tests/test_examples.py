@@ -15,6 +15,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
                                     "run_vo_pipeline.py",
                                     "run_compat_migration.py",
                                     "run_car.py"])
+@pytest.mark.slow
 def test_example_runs(script, monkeypatch, capsys):
   monkeypatch.delenv("PLOT", raising=False)
   sys.path.insert(0, str(EXAMPLES))

@@ -3,6 +3,7 @@ dual-implementation pattern applied to the generic-bank hot path)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rednose_tpu.models.kinematic import KinematicKalman
 from rednose_tpu.models.kinematic import ObservationKind as KK
@@ -89,3 +90,29 @@ def test_lane_bank_maha_gate_matches():
   np.testing.assert_allclose(np.asarray(xl), np.asarray(ref.x), rtol=1e-9)
   np.testing.assert_allclose(np.asarray(lane_bank.from_lane(Pl)),
                              np.asarray(ref.P), rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_blocked_cholesky_matches_lapack_oracle():
+  """cholesky_lane_blocked / cho_solve_lane_blocked (the smoother gains
+  pass's critical-path fix) vs the LAPACK oracle across dims that
+  exercise 1..3 panels and ragged tails."""
+  rng = np.random.RandomState(0)
+  for d in (3, 8, 13, 22):
+    B = 5
+    As = []
+    for _ in range(B):
+      M = rng.randn(d, d)
+      As.append(M @ M.T + d * np.eye(d))
+    A = jnp.asarray(np.stack(As, axis=-1))
+    Brhs = jnp.asarray(rng.randn(d, 4, B))
+    L = lane_bank.cholesky_lane_blocked(A, r=8)
+    X = lane_bank.cho_solve_lane_blocked(L, Brhs, r=8)
+    for i in range(B):
+      np.testing.assert_allclose(
+          np.asarray(L[:, :, i]),
+          np.linalg.cholesky(np.asarray(A[:, :, i])), atol=1e-9)
+      np.testing.assert_allclose(
+          np.asarray(X[:, :, i]),
+          np.linalg.solve(np.asarray(A[:, :, i]),
+                          np.asarray(Brhs[:, :, i])), atol=1e-9)

@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rednose_tpu.core import step as step_ops
 from rednose_tpu.models.msckf_vo import (
@@ -52,6 +53,7 @@ def test_lane_predict_msckf_block_form():
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_lane_feature_update_matches_oracle():
   """Householder-projected feature update == QR-complete oracle update in
   x and P (the nullspace basis differs by a rotation, so innovations are
@@ -113,6 +115,7 @@ def test_lane_feature_update_gate_rejects():
   assert np.abs(np.asarray(xl[1]) - np.asarray(x[1])).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_lane_feature_update_eskf_composition():
   """Feature update on the MSCKF x ESKF composition model (quaternion
   error state + He nullspace + H_mod chain in one update)."""

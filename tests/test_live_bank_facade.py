@@ -3,6 +3,7 @@ time bookkeeping, checkpoint round trip."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rednose_tpu.models.live import LiveKalman, ObservationKind as K
 from rednose_tpu.ops import live_lane
@@ -136,6 +137,7 @@ def test_review_findings_regressions(tmp_path):
     load_filter(path, kf2.filter)  # no self-describing keys, no treedef
 
 
+@pytest.mark.slow
 def test_streamed_per_step_R_matches_driver_oracle():
   """CAMERA_ODO_TRANSLATION with measurement-supplied per-step variances
   (the reference's columns 3:6 pattern, live_kf.py:325-337) through the

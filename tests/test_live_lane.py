@@ -44,6 +44,7 @@ def test_closed_form_F_matches_jacfwd():
     np.testing.assert_allclose(F, np.eye(22) + dt * A, rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_predict_parity():
   spec = build_live_spec()
   rng = np.random.RandomState(1)
@@ -94,6 +95,7 @@ def test_update_parity(gate):
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_scan_parity_vs_sequential_oracle():
   """T fused steps through the lane scan == T sequential oracle steps."""
   spec = build_live_spec()
@@ -206,6 +208,7 @@ def test_update_parity_all_kinds(kind):
                                rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mixed_scan_matches_sequential_oracle():
   """Heterogeneous gyro/accel/rot/pos stream through live_mixed_scan == the
   same stream stepped sequentially through the core/step oracle."""

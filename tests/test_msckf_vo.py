@@ -8,6 +8,7 @@ parallel to the true velocity (unobservable: must merely stay bounded) and
 the perpendicular component (observable: must collapse)."""
 
 import numpy as np
+import pytest
 
 from rednose_tpu.models.msckf_vo import (
     MSCKFVisualOdometry,
@@ -21,6 +22,7 @@ def _project(cam_pos, landmark):
   return d[:2] / d[2]
 
 
+@pytest.mark.slow
 def test_msckf_vo_pipeline():
   rng = np.random.default_rng(0)
   dt = 0.2

@@ -58,6 +58,7 @@ def test_kernel_matches_lane_scan(gate):
                              rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mixed_kernel_matches_mixed_scan():
   """Heterogeneous-kind kernel (interpret mode) vs the jnp mixed scan."""
   from rednose_tpu.models.live import ObservationKind as K

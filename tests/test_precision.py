@@ -5,6 +5,7 @@ the time axis (the sequence-parallel dimension) on the virtual mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind
 from rednose_tpu.runtime import bank as bank_ops
@@ -41,6 +42,7 @@ def test_f32_bank_tracks_f64_oracle():
     assert np.all(np.linalg.eigvalsh(P) > 0)
 
 
+@pytest.mark.slow
 def test_parallel_smoother_under_time_sharding():
   """The associative-scan smoother jits and runs with the TIME axis sharded
   over the 8-device mesh (SURVEY.md §2.5 item 3: the sequence-parallel

@@ -9,6 +9,7 @@ that smoothing reduces RMSE vs the filtered trajectory.
 """
 
 import numpy as np
+import pytest
 
 from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind
 from rednose_tpu.smoothing.rts import smooth_estimates
@@ -91,6 +92,7 @@ def test_smooth_estimates_short_inputs():
   np.testing.assert_allclose(out[0][0], np.asarray(estimates[0][1]).reshape(-1))
 
 
+@pytest.mark.slow
 def test_bank_smoothing_matches_per_trajectory():
   """rts_smooth_parallel_bank == per-trajectory rts_smooth_parallel."""
   import jax.numpy as jnp
@@ -133,6 +135,7 @@ def test_bank_smoothing_matches_per_trajectory():
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_chunked_suffix_scan_matches_associative_scan():
   """_suffix_scan_lane (the layout-aware two-level scan used for long logs)
   == jax.lax.associative_scan on the same affine elements, including a

@@ -107,6 +107,7 @@ def _run_oracle(spec, kind, x0, P0, Q, dts, zs, R, B, T):
   return np.stack(outs_x), np.stack(outs_P)
 
 
+@pytest.mark.slow
 def test_sparse_generic_kernel_matches_oracle_live(live_structure):
   """Sparse generic kernel (interpret mode) == sequential core/step oracle
   on the full live ESKF, gated ECEF_POS stream."""
