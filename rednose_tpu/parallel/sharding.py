@@ -159,6 +159,36 @@ def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
   )(x_packed, P_packed, zs_packed, dts)
 
 
+def sharded_generic_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed,
+                              dts, *, spec, kind, q_diag, r_mat,
+                              structure=None, gate: bool = False,
+                              t_chunk: int = 128, tile_b: int = 1024,
+                              interpret: bool = False, entry: bool = True):
+  """Entry-level generic kernel (ops/pallas_bank.py + ops/entry_slab.py)
+  sharded over the mesh — the scale-out story for the automatic path:
+  ANY spec, no hand derivation, one VMEM-resident kernel per chip shard,
+  zero collectives. Same packed layout and divisibility rules as
+  sharded_live_bank_scan."""
+  from rednose_tpu.ops import pallas_bank
+
+  n = mesh.devices.size
+  assert x_packed.shape[-1] % n == 0, (x_packed.shape, n)
+
+  def local(xp, Pp, zsp, dts_):
+    return pallas_bank.generic_bank_scan(
+        xp, Pp, zsp, dts_, spec=spec, kind=kind, q_diag=q_diag,
+        r_mat=r_mat, gate=gate, t_chunk=t_chunk, tile_b=tile_b,
+        interpret=interpret, structure=structure, entry=entry)
+
+  return jax.shard_map(
+      local, mesh=mesh,
+      in_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
+                P(None, None, None, BANK_AXIS), P()),
+      out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
+      check_vma=False,
+  )(x_packed, P_packed, zs_packed, dts)
+
+
 # ------------------------------------------------------- multi-slice (DCN)
 
 SLICE_AXIS = 'slice'

@@ -148,3 +148,39 @@ def test_structure_detection_on_random_sparsity(seed, dim):
                              rtol=1e-9, atol=1e-11)
   np.testing.assert_allclose(np.asarray(Ps_), np.asarray(Pd),
                              rtol=1e-8, atol=1e-11)
+
+
+@pytest.mark.parametrize("seed,dim,dz", [(6, 3, 1), (7, 5, 2), (8, 9, 3),
+                                         (9, 14, 2)])
+def test_entry_slab_matches_numpy_ekf(seed, dim, dz):
+  """Random specs through the entry-level slab body (ops/entry_slab.py) —
+  the 'automatic minimal kernel for ANY model' path — vs the textbook
+  numpy EKF, at dims no shipped model has."""
+  from rednose_tpu.ops import entry_slab
+
+  spec, rng = _random_spec(seed, dim, dz)
+  st = sparsity.detect_structure(spec, rng.randn(dim))
+  B, T = 4, 10
+  x0 = rng.randn(B, dim)
+  P0 = np.tile(np.eye(dim), (B, 1, 1))
+  q = 0.01 + 0.1 * rng.rand(dim)
+  R = np.diag(0.5 + rng.rand(dz))
+  zs = rng.randn(T, B, dz)
+  gate = spec.obs[1].maha_test
+
+  x = jnp.asarray(x0.T)                      # (dim, B)
+  P = jnp.asarray(P0.transpose(1, 2, 0))     # (dim, dim, B)
+  q_diag = tuple(float(v) for v in q)
+  r_mat = tuple(tuple(float(v) for v in row) for row in R)
+  for t in range(T):
+    x, P, _ = entry_slab.entry_step_slab(
+        spec, 1, {}, x, P, jnp.asarray(zs[t].T), q_diag, r_mat,
+        jnp.asarray(0.05), st, gate=gate)
+
+  for lane in range(B):
+    stream = [(0.05, zs[t, lane], R) for t in range(T)]
+    x_ref, P_ref = _numpy_ekf(spec, x0[lane], P0[lane], np.diag(q), stream)
+    np.testing.assert_allclose(np.asarray(x)[:, lane], x_ref,
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(P)[:, :, lane], P_ref,
+                               rtol=1e-6, atol=1e-9)
