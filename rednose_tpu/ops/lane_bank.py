@@ -335,6 +335,38 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
   if R.ndim == 2:
     R = R[:, :, None]
 
+  if not om.is_feature and ea is not None:
+    # non-feature kinds with real extra args (the loc_kf pseudorange
+    # family: sat_pos threaded to h without nullspace projection,
+    # ekf_sym.py:84-89) — per-lane ea (B, ea_len), dense path only
+    assert structure is None, "extra-args kinds: dense lane path only"
+    h = jax.vmap(lambda xx, ee: om.h(params, xx, ee), out_axes=1)(x, ea)
+    H_raw = jax.vmap(lambda xx, ee: spec.H(kind, params, xx, ee),
+                     out_axes=2)(x, ea)
+    if spec.is_eskf:
+      Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx), out_axes=2)(x)
+      H = _matmul_ll(H_raw, Hm)
+    else:
+      H = H_raw
+    HP = jnp.swapaxes(_matmul_lt(P, H), 0, 1)
+    y = z.T - h
+    PHt = jnp.swapaxes(HP, 0, 1)
+    S = _matmul_ll(H, PHt) + R
+    Sinv = _inv_small(S)
+    K = _matmul_ll(PHt, Sinv)
+    if om.maha_test:
+      dist = sum(y[i] * Sinv[i, j] * y[j]
+                 for i in range(dz) for j in range(dz))
+      K = jnp.where(dist[None, None, :] > om.maha_thresh, 0.0, K)
+    dx = sum(K[:, i, :] * y[i][None, :] for i in range(dz))
+    I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)
+    P_new = _sym(_matmul_lt(_matmul_ll(I_KH, P), I_KH)
+                 + _matmul_lt(_matmul_ll(K, R), K))
+    x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
+    x_new = jax.vmap(
+        lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
+    return x_new, P_new, y.T
+
   if om.is_feature:
     # MSCKF feature-track update at bank speed: per-lane He, an unrolled
     # Householder projection onto null(He^T), then the ordinary slab
@@ -479,6 +511,56 @@ def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
 def jit_lane_bank_scan(spec: FilterSpec, kind: int, structure=None):
   return jax.jit(functools.partial(lane_bank_scan, spec, kind,
                                    structure=structure))
+
+
+def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
+                         dts, kind_idx, zs, R_list, structure=None):
+  """Heterogeneous sensor schedule over a lane-major bank for ANY spec:
+  one fused predict + `lax.switch`-dispatched update per step — the
+  generic analog of ops/live_lane.live_mixed_scan (which is live-only) and
+  the banked analog of runtime/scan.build_scan_stream (which is
+  single-filter). The reference's real workload shape (several observation
+  kinds at sensor rate, ekf_sym.cc:158-184) at bank scale for any model.
+
+  Args: kinds static tuple; kind_idx (T,) int32 indices into it; zs
+  (T, B, max_dz) rows padded to the largest dz; R_list per-kind (dz, dz)
+  noises aligned with `kinds` (traced — per-call values don't recompile).
+  Returns final (x (B, dim_x), P (de, de, B)).
+  """
+  kinds = tuple(int(k) for k in kinds)
+  max_dz = max(spec.obs[k].dz for k in kinds)
+  assert zs.shape[-1] == max_dz, (zs.shape, max_dz)
+
+  def _branch(i, k):
+    dz = spec.obs[k].dz
+
+    def apply(xc, Pc, z, Rl):
+      xn, Pn, _ = lane_update(spec, k, params, xc, Pc, z[:, :dz], Rl[i],
+                              structure=structure)
+      return xn, Pn
+
+    return apply
+
+  branches = tuple(_branch(i, k) for i, k in enumerate(kinds))
+
+  def body(carry, inp):
+    xc, Pc = carry
+    dt, ki, z = inp
+    xc, Pc = lane_predict(spec, params, xc, Pc, Q, dt, structure=structure)
+    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z, R_list)
+    return (xc, Pc), None
+
+  (x, P), _ = jax.lax.scan(body, (x, P), (dts, kind_idx, zs))
+  return x, P
+
+
+@functools.lru_cache(maxsize=None)
+def jit_lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple,
+                             structure=None):
+  def fn(params, x, P, Q, dts, kind_idx, zs, R_list):
+    return lane_mixed_bank_scan(spec, kinds, params, x, P, Q, dts,
+                                kind_idx, zs, R_list, structure=structure)
+  return jax.jit(fn)
 
 
 def to_lane(P_batch):

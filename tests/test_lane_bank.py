@@ -116,3 +116,48 @@ def test_blocked_cholesky_matches_lapack_oracle():
           np.asarray(X[:, :, i]),
           np.linalg.solve(np.asarray(A[:, :, i]),
                           np.asarray(Brhs[:, :, i])), atol=1e-9)
+
+
+def test_generic_mixed_bank_scan_matches_oracle():
+  """lane_mixed_bank_scan (heterogeneous kinds over a bank, ANY spec) ==
+  per-lane sequential core/step oracle; mixes dz=3 and dz=1 kinds so the
+  padding path is exercised."""
+  from rednose_tpu.core import step as step_ops
+
+  spec = LiveKalman.build_spec()
+  kinds = (int(LK.ECEF_POS), int(LK.ODOMETRIC_SPEED))
+  B, T = 5, 8
+  rng = np.random.RandomState(3)
+  x0 = np.tile(LiveKalman.initial_x, (B, 1))
+  x0[:, 7:10] += rng.randn(B, 3)          # nonzero velocity for odo speed
+  P0 = np.tile(np.diag(LiveKalman.initial_P_diag) * 1e-2, (B, 1, 1))
+  Q = jnp.asarray(LiveKalman.Q)
+  dts = np.full((T,), 0.01)
+  ki = np.asarray([0, 1] * (T // 2), np.int32)
+  zs = np.zeros((T, B, 3))
+  zs[ki == 0] = LiveKalman.initial_x[:3][None, None] + rng.randn(
+      (ki == 0).sum(), B, 3)
+  zs[ki == 1, :, 0] = np.abs(1.0 + 0.1 * rng.randn((ki == 1).sum(), B))
+  R_pos = np.diag([25.0] * 3)
+  R_odo = np.asarray([[0.05**2]])
+
+  xl, Pl = lane_bank.lane_mixed_bank_scan(
+      spec, kinds, {}, jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)),
+      Q, jnp.asarray(dts), jnp.asarray(ki), jnp.asarray(zs),
+      (jnp.asarray(R_pos), jnp.asarray(R_odo)))
+
+  ea = jnp.zeros((1,))
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for t in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, Q, dts[t])
+      k = kinds[ki[t]]
+      dz = spec.obs[k].dz
+      R = R_pos if dz == 3 else R_odo
+      x, P, _ = step_ops.update(spec, k, {}, x, P,
+                                jnp.asarray(zs[t, i, :dz]),
+                                jnp.asarray(R), ea)
+    np.testing.assert_allclose(np.asarray(xl[i]), np.asarray(x),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(Pl[:, :, i]), np.asarray(P),
+                               rtol=1e-6, atol=1e-7)

@@ -184,3 +184,38 @@ def test_entry_slab_matches_numpy_ekf(seed, dim, dz):
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(P)[:, :, lane], P_ref,
                                rtol=1e-6, atol=1e-9)
+
+
+def test_lane_bank_pseudorange_extra_args():
+  """Non-feature kind with real per-lane extra args through the lane bank
+  (loc_kf pseudorange family): parity vs core/step.update with the same
+  ea threaded."""
+  from rednose_tpu.core import step as step_ops
+
+  def h_pr(params, x, ea):
+    del params
+    d = x[:3] - ea
+    return jnp.linalg.norm(d)[None]
+
+  spec = FilterSpec(
+      name='pr_lane', dim_x=3, dim_err=3,
+      f=lambda p, x, dt: x,
+      obs={5: ObservationModel(kind=5, h=h_pr, dz=1, ea_dim=0, ea_len=3)})
+  rng = np.random.RandomState(0)
+  B = 6
+  x0 = jnp.asarray(rng.randn(B, 3))
+  P0 = jnp.asarray(np.tile(np.eye(3) * 4.0, (B, 1, 1)).transpose(1, 2, 0))
+  sats = jnp.asarray(100.0 * rng.randn(B, 3))
+  z = jnp.asarray(rng.rand(B, 1) * 100.0)
+  R = jnp.asarray([[1e-2]])
+
+  xl, Pl, yl = lane_bank.lane_update(spec, 5, {}, x0, P0, z, R, ea=sats)
+  for i in range(B):
+    xo, Po, yo = step_ops.update(spec, 5, {}, x0[i], P0[:, :, i], z[i], R,
+                                 sats[i])
+    np.testing.assert_allclose(np.asarray(xl[i]), np.asarray(xo),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Pl[:, :, i]), np.asarray(Po),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(yl[i]), np.asarray(yo),
+                               rtol=1e-9, atol=1e-10)
