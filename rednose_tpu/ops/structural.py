@@ -86,6 +86,16 @@ _ZERO_PRESERVING = frozenset({
 # f(0) = 1 elementwise primitives
 _ONE_AT_ZERO = frozenset({"cos", "cosh", "exp"})
 
+# elementwise binaries with no safe structural shortcut: fold const-const
+# through the jnp fn (works on python floats), emit otherwise
+_BINOP_FNS = {
+    "max": jnp.maximum, "min": jnp.minimum, "atan2": jnp.arctan2,
+    "rem": jnp.remainder,
+    "eq": lambda a, b: a == b, "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b, "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b, "ge": lambda a, b: a >= b,
+}
+
 
 class _Interp:
   """Zero-propagating jaxpr interpreter with memoized scalar emission."""
@@ -166,6 +176,24 @@ class _Interp:
         return 1.0
       x = 0.0
     return self._emit(name, jfn, x)
+
+  def s_pow(self, x, y):
+    if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+      return x ** y
+    if y is None or (isinstance(y, (int, float)) and y == 0.0):
+      return 1.0  # x**0 == 1 in jax/numpy floating semantics (incl. 0**0)
+    if x is None:
+      if isinstance(y, (int, float)) and y > 0:
+        return None  # 0**y == 0 for y > 0
+      x = 0.0  # 0**negative / traced exponent: emit the real op
+    return self._emit("pow", lambda a, b: a ** b, x, y)
+
+  def s_binop(self, name, x, y, jfn):
+    """Generic binary rule (max, min, comparisons, ...): no structural
+    shortcut is safe, so emit the real (memoized) op with structural
+    zeros materialized as 0.0; const-const emits a concrete scalar."""
+    return self._emit(name, jfn, 0.0 if x is None else x,
+                      0.0 if y is None else y)
 
   # ------------------------------------------------------------- conversion
 
@@ -338,6 +366,29 @@ class _Interp:
             invals[0],
             lambda x: self.s_unary(name, x,
                                    lambda a: prim.bind(a, **p)))]
+      elif name == "pow":
+        outs = [self.ew2(invals[0], invals[1], self.s_pow)]
+      elif name in _BINOP_FNS:
+        jfn = _BINOP_FNS[name]
+        outs = [self.ew2(
+            invals[0], invals[1],
+            lambda a, b, jfn=jfn, name=name: self.s_binop(name, a, b, jfn))]
+      elif name == "select_n":
+        # elementwise n-way select; no structural shortcut (the predicate
+        # decides at runtime) — materialize Nones per element
+        def _sel(*elems):
+          vals = [0.0 if e is None else
+                  (e.resolve() if isinstance(e, _Elem) else e)
+                  for e in elems]
+          return eqn.primitive.bind(*[jnp.asarray(v) if isinstance(
+              v, (int, float, bool)) else v for v in vals], **p)
+
+        shape = np.broadcast_shapes(*[v.shape for v in invals])
+        bc = [np.broadcast_to(v, shape) for v in invals]
+        out = np.empty(shape, dtype=object)
+        for idx in np.ndindex(shape):
+          out[idx] = _sel(*[v[idx] for v in bc])
+        outs = [out]
       elif name == "integer_pow":
         y = p["y"]
         outs = [self.ew1(
@@ -395,7 +446,23 @@ class _Interp:
         res = eqn.primitive.bind(*mats, **p)
         if not eqn.primitive.multiple_results:
           res = [res]
-        outs = [self.to_obj(r) for r in res]
+        pshape = jnp.shape(self.zero)
+        if pshape == ():
+          outs = [self.to_obj(r) for r in res]
+        else:
+          # slab mode: materialized operands carried payload dims, so only
+          # ELEMENTWISE primitives produce logical+payload results; anything
+          # shape-parameterized would be silently wrong — refuse loudly.
+          logical = np.broadcast_shapes(*[v.shape for v in invals]) \
+              if invals else ()
+          outs = []
+          for r in res:
+            if jnp.shape(r) != tuple(logical) + pshape:
+              raise NotImplementedError(
+                  f"structural interpreter: primitive {name!r} has no slab "
+                  f"rule and is not elementwise (result {jnp.shape(r)} vs "
+                  f"logical {logical} + payload {pshape}); add a rule")
+            outs.append(self.lazy_obj(r, tuple(logical)))
       for var, o in zip(eqn.outvars, outs):
         env[var] = o
     return [read(v) for v in jaxpr.outvars]

@@ -193,3 +193,21 @@ def test_entry_kernel_interpret_sympy_frontend():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(P_out[:, :, i]), np.asarray(Pi),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_entry_step_matches_oracle_live_accel():
+  """PHONE_ACCEL: gravity model with a pow primitive — exercises the
+  interpreter's pow rule and the slab-safe fallback (pre-fix: shape
+  corruption crash in slab mode)."""
+  _check_parity(LiveKalman.build_spec(), LK.PHONE_ACCEL,
+                LiveKalman.initial_x, np.diag(LiveKalman.Q),
+                np.diag([0.5**2] * 3), gate=False, tol=2e-5)
+
+
+def test_entry_step_matches_oracle_live_odo():
+  """ODOMETRIC_SPEED (dz=1): speed norm with sqrt/clamping —
+  max/select_n interpreter rules."""
+  _check_parity(LiveKalman.build_spec(), LK.ODOMETRIC_SPEED,
+                LiveKalman.initial_x, np.diag(LiveKalman.Q),
+                np.atleast_2d(0.05**2), gate=False, tol=2e-5)
