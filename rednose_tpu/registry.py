@@ -41,6 +41,7 @@ def _ensure_builtins():
       car,
       kinematic,
       live,
+      loc,
       msckf_eskf,
       msckf_vo,
   )
