@@ -277,13 +277,14 @@ def bench_rts():
   }
 
 
-def bench_vo():
+def bench_vo(path=None):
   """Banked visual-odometry workload (BENCH_MODEL=vo): B independent
   MSCKF VO filters, each frame = block predict + nullspace-projected
   feature update (dz=8 -> Householder projection -> 5-dim Cholesky solve)
-  + sliding-window augment, all on the lane-major feature paths
-  (ops/lane_bank.py round-3) — the config the round-2 verdict flagged as
-  having no kernel-speed story."""
+  + sliding-window augment. BENCH_VO_PATH=lane (default) runs the
+  lane-major jnp paths; =kernel the VMEM-resident Pallas VO kernel
+  (ops/pallas_bank.vo_bank_scan) — feature kinds in the same hot kernel
+  as everything else."""
   import jax
   import jax.numpy as jnp
 
@@ -296,6 +297,8 @@ def bench_vo():
   spec = build_msckf_vo_spec()
   kind = int(VK.MSCKF_TEST)
   om = spec.obs[kind]
+  if path is None:
+    path = os.environ.get("BENCH_VO_PATH", "lane")  # |kernel
   B = int(os.environ.get("BENCH_BANK", 4096))
   T = int(os.environ.get("BENCH_STEPS", 128))
   chain_n = int(os.environ.get("BENCH_CHAIN", 4))
@@ -319,28 +322,59 @@ def bench_vo():
   zs = jnp.asarray(zs + 0.01 * rng.randn(*zs.shape), dtype)
   eas_j = jnp.asarray(eas, dtype)
 
-  def frame(carry, inp):
-    xc, Pc = carry
-    z, ea = inp
-    xc, Pc = lane_bank.lane_predict(spec, {}, xc, Pc, Q, 0.05)
-    xc, Pc, _ = lane_bank.lane_update(spec, kind, {}, xc, Pc, z, R, ea=ea)
-    xc, Pc = lane_bank.lane_augment(spec, xc, Pc)
-    return (xc, Pc), None
+  if path == "kernel":
+    # VMEM-resident VO kernel (ops/pallas_bank.vo_bank_scan): feature
+    # updates + augmentation inside the same hot Pallas kernel
+    from rednose_tpu.ops import pallas_bank, sparsity
 
-  @jax.jit
-  def chain(x, P, zs, eas):
-    s = jnp.asarray(0.0, dtype)
-    for i in range(chain_n):
-      (xf, Pf), _ = jax.lax.scan(frame, (x + 1e-6 * i, P), (zs, eas))
-      s = s + jnp.sum(xf) + jnp.sum(Pf)
-    return s
+    st = sparsity.detect_structure(spec, np.zeros(spec.dim_x))
+    q_diag = tuple(float(v) for v in np.diag(np.asarray(Q)))
+    r_mat = tuple(tuple(float(v) for v in row) for row in np.asarray(R))
+    tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
+    t_chunk = int(os.environ.get("BENCH_T_CHUNK", 64))
+    xp, Pp = pallas_bank.pack_bank(x, P)
+    zsp = pallas_bank.pack_bank_measurements(zs)
+    easp = pallas_bank.pack_bank_measurements(eas_j)
+    dts = jnp.full((T,), 0.05, dtype)
 
-  best = _time_chain(chain, (x, P, zs, eas_j))
+    @jax.jit
+    def chain(xp, Pp, zsp, easp):
+      s = jnp.asarray(0.0, dtype)
+      for i in range(chain_n):
+        xo, Po = pallas_bank.vo_bank_scan(
+            xp + 1e-6 * i, Pp, zsp, easp, dts, spec=spec, kind=kind,
+            q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=t_chunk,
+            tile_b=tile_b, structure=st)
+        s = s + jnp.sum(xo) + jnp.sum(Po)
+      return s
+
+    log("compiling VO kernel (first compile is minutes-scale)...")
+    best = _time_chain(chain, (xp, Pp, zsp, easp))
+  else:
+    def frame(carry, inp):
+      xc, Pc = carry
+      z, ea = inp
+      xc, Pc = lane_bank.lane_predict(spec, {}, xc, Pc, Q, 0.05)
+      xc, Pc, _ = lane_bank.lane_update(spec, kind, {}, xc, Pc, z, R,
+                                        ea=ea)
+      xc, Pc = lane_bank.lane_augment(spec, xc, Pc)
+      return (xc, Pc), None
+
+    @jax.jit
+    def chain(x, P, zs, eas):
+      s = jnp.asarray(0.0, dtype)
+      for i in range(chain_n):
+        (xf, Pf), _ = jax.lax.scan(frame, (x + 1e-6 * i, P), (zs, eas))
+        s = s + jnp.sum(xf) + jnp.sum(Pf)
+      return s
+
+    best = _time_chain(chain, (x, P, zs, eas_j))
+
   frames_per_sec = (B * T * chain_n) / best
-  log(f"banked VO B={B}: best {best*1e3:.2f} ms for {chain_n} chained "
-      f"scans -> {frames_per_sec/1e6:.2f}M frames/s")
+  log(f"banked VO {path} B={B}: best {best*1e3:.2f} ms for {chain_n} "
+      f"chained scans -> {frames_per_sec/1e6:.2f}M frames/s")
   return {
-      "metric": "msckf_vo_bank_frame_throughput",
+      "metric": f"msckf_vo_bank_frame_throughput_{path}",
       "value": round(frames_per_sec, 1),
       "unit": "frames/sec/chip",
       "vs_baseline": round(frames_per_sec / BASELINE_STEPS_PER_SEC, 3),
@@ -431,6 +465,7 @@ def main():
       ("live_fused", lambda: bench_live_bank(path="pallas")),
       ("live_mixed", lambda: bench_live_bank(path="mixed")),
       ("rts", bench_rts),
+      ("vo_lane", lambda: bench_vo(path="lane")),
       ("generic_entry", lambda: bench_generic(path="sparse")),
   )
   skip = set(os.environ.get("BENCH_SKIP", "").split(",")) - {""}

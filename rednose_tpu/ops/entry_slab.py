@@ -104,8 +104,9 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
   scalar, q_diag static tuple — with x_new and the F-taps emitted through
   one shared structural interpreter and F P F^T accumulated entry-by-entry
   over structure.g_cols (F = I + G decomposition, see ops/sparsity
-  fpf_masked for the algebra)."""
-  assert spec.dim_main_err == spec.dim_err, "MSCKF blocks: use runtime/bank"
+  fpf_masked for the algebra). MSCKF specs (dim_main_err < dim_err) get
+  the ekf_c.c:17-29 block form: full propagation on the main block,
+  one-sided G on the coupling block, clone block untouched."""
   de, dx_dim = spec.dim_err, spec.dim_x
   dtype = x.dtype
   zero = x[0] * 0.0  # (*b) slab zero, derived from an input (Mosaic rule)
@@ -141,31 +142,61 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
       col[k] = e - 1.0
     G[k] = col
 
+  m_dim = spec.dim_main_err
+  assert all(k < m_dim for k in structure.g_cols), (
+      "MSCKF structure must confine G to the main block", structure.g_cols)
+
   zero_row = P[0] * 0.0  # (de, *b)
   # hoist row slices out of the accumulation loops: a slice re-evaluated
   # inside the double loop emits a fresh slice+squeeze op pair per use
   # (measured ~1k ops of pure slicing before hoisting)
   P_rows = {k: P[k] for k in structure.g_cols}
-  # M = G P, accumulated row-by-row over only the nonzero entries
+  # M = G P, accumulated row-by-row over only the nonzero entries; G lives
+  # in the main block, so rows beyond it are zero
   m_rows = []
-  for i in range(de):
+  for i in range(m_dim):
     acc = None
     for k in structure.g_cols:
       acc = _acc(acc, _ent_mul(G[k][i], P_rows[k]))
     m_rows.append(acc)
-  M = _stack_rows(m_rows, zero_row)  # (de, de, *b)
+  zero_mrow = zero_row if m_dim == de else P[0][:m_dim] * 0.0
+  if m_dim == de:
+    M = _stack_rows(m_rows, zero_row)  # (de, de, *b)
 
-  # N = M G^T: column j is sum_k M[:, k] * G[j, k]
-  M_cols = {k: M[:, k] for k in structure.g_cols}
-  n_cols = []
-  for j in range(de):
-    acc = None
-    for k in structure.g_cols:
-      acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
-    n_cols.append(acc)
-  N = jnp.stack([c if c is not None else zero_row for c in n_cols], axis=1)
-
-  P_new = _sym(P + M + jnp.swapaxes(M, 0, 1) + N)
+    # N = M G^T: column j is sum_k M[:, k] * G[j, k]
+    M_cols = {k: M[:, k] for k in structure.g_cols}
+    n_cols = []
+    for j in range(de):
+      acc = None
+      for k in structure.g_cols:
+        acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
+      n_cols.append(acc)
+    N = jnp.stack([c if c is not None else zero_row for c in n_cols],
+                  axis=1)
+    P_new = _sym(P + M + jnp.swapaxes(M, 0, 1) + N)
+  else:
+    # block form: M is (m, de, *b) — covers both the main-block product
+    # and the one-sided coupling update
+    M = _stack_rows(m_rows, zero_row)  # (m, de, *b)
+    M_cols = {k: M[:, k] for k in structure.g_cols}
+    n_cols = []
+    for j in range(m_dim):
+      acc = None
+      for k in structure.g_cols:
+        acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
+      n_cols.append(acc)
+    zcol = M[:, 0] * 0.0
+    N = jnp.stack([c if c is not None else zcol for c in n_cols],
+                  axis=1)  # (m, m, *b)
+    TL = P[:m_dim, :m_dim] + M[:, :m_dim] \
+        + jnp.swapaxes(M[:, :m_dim], 0, 1) + N
+    TR = P[:m_dim, m_dim:] + M[:, m_dim:]
+    P_new = jnp.concatenate([
+        jnp.concatenate([TL, TR], axis=1),
+        jnp.concatenate([jnp.swapaxes(TR, 0, 1), P[m_dim:, m_dim:]],
+                        axis=1),
+    ])
+    P_new = _sym(P_new)
   P_new = _add_diag_iota(P_new, dt, q_diag)
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new
 
@@ -258,9 +289,135 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, y
 
 
+def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
+                              z, r_mat, gate: bool, ea, structure=None):
+  """MSCKF feature-track update on slab state, kernel-lowerable: entry
+  taps for the composed H (w.r.t. the error state, dense columns — the
+  feature h touches the whole clone window) and He (w.r.t. the feature
+  position), then the unrolled Householder projection onto null(He^T) and
+  a lane Cholesky solve at the projected dimension — templates/ekf_c.c's
+  feature path (66-77) inside the same hot kernel as everything else.
+
+  x (dim_x, *b), P (de, de, *b), z (dz, *b), ea (ea_len, *b) per-lane
+  feature positions, r_mat static nested tuple. Returns (x, P, y) with y
+  the PROJECTED innovation (basis differs from core/step's QR-complete
+  basis by a rotation; x/P parity is exact — see ops/lane_bank)."""
+  from rednose_tpu.ops.lane_bank import (
+      _apply_qt, _householder_qt, cho_solve_lane, cholesky_lane)
+
+  om = spec.obs[kind]
+  assert om.is_feature
+  dz, me, de = om.dz, om.ea_dim, spec.dim_err
+  dtype = x.dtype
+  zero = x[0] * 0.0
+  interp = structural._Interp(zero)
+
+  lx = _sds((spec.dim_x,), dtype)
+  lea = _sds((om.ea_len,), dtype)
+
+  # composed H_err = d h(err(x, v), ea) / d v at v = 0, restricted to the
+  # detected nonzero column support when a structure is available (the
+  # feature h touches only the clone window, not the whole error state)
+  cols = tuple(range(de))
+  if structure is not None:
+    try:
+      cols = structure.cols_for(kind)
+    except KeyError:
+      pass
+  nc = len(cols)
+
+  def fn_h(xx, ee, vv):
+    return om.h(params, spec.err(params, xx, vv), ee)
+
+  h_obj, taps = structural.run_entry_taps(fn_h, (lx, lea), (x, ea), de,
+                                          dtype, cols, interp)
+  h = interp.materialize(h_obj)
+  Hobj = np.empty((dz, nc), dtype=object)
+  for j, c in enumerate(cols):
+    for r in range(dz):
+      Hobj[r, j] = taps[c][r]
+  H = interp.materialize(Hobj)  # (dz, nc, *b)
+
+  # He = d h / d ea, ea_dim columns
+  def fn_e(xx, ee, ww):
+    return om.h(params, xx, ee + ww)
+
+  _, etaps = structural.run_entry_taps(fn_e, (lx, lea), (x, ea),
+                                       om.ea_len, dtype, tuple(range(me)),
+                                       interp)
+  Heobj = np.empty((dz, me), dtype=object)
+  for c in range(me):
+    for r in range(dz):
+      Heobj[r, c] = etaps[c][r]
+  He = interp.materialize(Heobj)  # (dz, me, *b)
+
+  y = z - h
+  refl = _householder_qt(He)
+  yp = _apply_qt(refl, y[:, None])[me:, 0]          # (dz', *b)
+  Hp = _apply_qt(refl, H)[me:]                       # (dz', nc, *b)
+
+  dzp = dz - me
+  # HP = H_err P over the nonzero columns only (slices hoisted)
+  P_rows = {c: P[c] for c in cols}
+  Hp_cols = [Hp[:, j] for j in range(nc)]            # each (dz', *b)
+  HP = sum(Hp_cols[j][:, None] * P_rows[cols[j]][None]
+           for j in range(nc))                       # (dz', de, *b)
+  HP_cols = {c: HP[:, c] for c in cols}
+  S_hp = sum(HP_cols[cols[j]][:, None] * Hp_cols[j][None]
+             for j in range(nc))                     # (dz', dz', *b)
+
+  # projected noise Q^T R Q: for the (usual) isotropic R = s^2 I it is
+  # EXACTLY s^2 I — skip two Householder applications on (dz, dz) slabs
+  diag0 = r_mat[0][0]
+  isotropic = all(
+      r_mat[i][j] == (diag0 if i == j else 0.0)
+      for i in range(dz) for j in range(dz))
+  if isotropic:
+    S = _add_diag_iota(S_hp, 1.0, (diag0,) * dzp)
+  else:
+    Robj = np.empty((dz, dz), dtype=object)
+    for i in range(dz):
+      for j in range(dz):
+        Robj[i, j] = r_mat[i][j] if r_mat[i][j] != 0.0 else None
+    Rb = interp.materialize(Robj)                    # (dz, dz, *b)
+    T1 = _apply_qt(refl, Rb)
+    Rp = _apply_qt(refl, jnp.swapaxes(T1, 0, 1))[me:, me:]
+    S = S_hp + _sym(Rp)
+  L = cholesky_lane(S)
+  Kt = cho_solve_lane(L, HP)                         # S^{-1} H P = K^T
+  K = jnp.swapaxes(Kt, 0, 1)                         # (de, dz', *b)
+  if gate:
+    sy = cho_solve_lane(L, yp[:, None])
+    dist = sum(yp[i] * sy[i, 0] for i in range(dzp))
+    K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
+  dx = sum(K[:, i] * yp[i][None] for i in range(dzp))
+
+  KHP = _mm_l(K, HP, dzp)
+  KSK = _mm_rt(_mm_l(K, S, dzp), K, dzp)
+  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
+
+  ldx = _sds((de,), dtype)
+  x_obj = structural.run_primal(
+      lambda xx, dd: spec.err(params, xx, dd), (lx, ldx), (x, dx), interp)
+  x_new = interp.materialize(x_obj[0])
+  return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, yp
+
+
 def entry_step_slab(spec: FilterSpec, kind: int, params, x, P, z, q_diag,
                    r_mat, dt, structure, gate: bool = False):
   """One fused predict + update (the kernel-body hot path)."""
   x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
   return entry_update_slab(spec, kind, params, x, P, z, r_mat, gate,
                            structure)
+
+
+def entry_vo_frame_slab(spec: FilterSpec, kind: int, params, x, P, z, ea,
+                        q_diag, r_mat, dt, structure, gate: bool = False):
+  """One banked-VO frame: MSCKF block predict + nullspace-projected
+  feature update + window augmentation, all kernel-lowerable."""
+  from rednose_tpu.ops.lane_bank import augment_slab
+
+  x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
+  x, P, _ = entry_feature_update_slab(spec, kind, params, x, P, z, r_mat,
+                                      gate, ea, structure=structure)
+  return augment_slab(spec, x, P)

@@ -92,7 +92,9 @@ def cholesky_lane(A):
     for k in range(j):
       s = s - cols[k][j - k:] * cols[k][j - k][None]
     diag = jnp.sqrt(s[0])
-    cols.append(jnp.concatenate([diag[None], s[1:] / diag[None]], axis=0))
+    # zero-size concat operands don't lower in Mosaic: last column is 1-high
+    cols.append(jnp.concatenate([diag[None], s[1:] / diag[None]], axis=0)
+                if j + 1 < d else diag[None])
   return cols
 
 
@@ -141,7 +143,8 @@ def cholesky_lane_blocked(A, r: int = 8):
       for k in range(j):
         s = s - Ld[k][j - k:] * Ld[k][j - k][None]
       diag = jnp.sqrt(s[0])
-      Ld.append(jnp.concatenate([diag[None], s[1:] / diag[None]], axis=0))
+      Ld.append(jnp.concatenate([diag[None], s[1:] / diag[None]], axis=0)
+                if j + 1 < rr else diag[None])
     # panel below the diagonal block: solve Lp Ld^T = P  (forward columns)
     Lp_cols = []
     if rr < S.shape[0]:
@@ -279,29 +282,34 @@ def _householder_qt(He):
   cols = [He[:, k] for k in range(m)]  # each (dz, B)
   refl = []
   for j in range(m):
-    c = cols[j][j:]  # (dz - j, B)
-    sigma = sum(c[i] * c[i] for i in range(dz - j))
+    cj = cols[j]
+    c = [cj[i] for i in range(j, dz)]  # hoisted elements (each (B,))
+    sigma = sum(ci * ci for ci in c)
     norm = jnp.sqrt(sigma)
     sign = jnp.where(c[0] >= 0, 1.0, -1.0)
     alpha = -sign * norm
     v0 = c[0] - alpha
-    v = jnp.concatenate([v0[None], c[1:]])
+    v = jnp.concatenate([v0[None]] + [ci[None] for ci in c[1:]])
+    ve = [v0] + c[1:]  # hoisted v elements: _apply_qt re-uses them
     vtv = sigma - c[0] * c[0] + v0 * v0
     beta = jnp.where(vtv > 0, 2.0 / jnp.where(vtv > 0, vtv, 1.0), 0.0)
-    refl.append((j, v, beta))
+    refl.append((j, v, beta, ve))
     for k in range(j + 1, m):
       ck = cols[k]
-      w = sum(v[i] * ck[j + i] for i in range(dz - j))  # (B,)
+      w = sum(ve[i] * ck[j + i] for i in range(dz - j))  # (B,)
       tail = ck[j:] - (beta * w)[None] * v
-      cols[k] = jnp.concatenate([ck[:j], tail])
+      # zero-size concat operands don't lower in Mosaic: guard j == 0
+      cols[k] = jnp.concatenate([ck[:j], tail]) if j else tail
   return refl
 
 
 def _apply_qt(refl, M):
-  """Left-multiply M (dz, n, B) by Q^T via the Householder reflectors."""
-  for j, v, beta in refl:
+  """Left-multiply M (dz, n, B) by Q^T via the Householder reflectors
+  (element slices hoisted in _householder_qt — a slice per use would emit
+  ~100 extra Mosaic ops per application, see CLAUDE.md)."""
+  for j, v, beta, ve in refl:
     sub = M[j:]  # (dz - j, n, B)
-    w = sum(v[i][None] * sub[i] for i in range(sub.shape[0]))  # (n, B)
+    w = sum(ve[i][None] * sub[i] for i in range(sub.shape[0]))  # (n, B)
     sub = sub - (beta[None] * w)[None] * v[:, None]
     M = jnp.concatenate([M[:j], sub]) if j else sub
   return M
@@ -464,23 +472,34 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
   return x_new, P_new, y.T
 
 
-def lane_augment(spec: FilterSpec, x, P):
-  """Banked MSCKF augmentation: clone the current pose into the newest
-  window slot for every lane at once (core/step.augment semantics,
-  reference ekf_sym.py:365-391). x (B, dim_x), P (de, de, B) lane-major.
-  All indexing is static, so this jits into pure data movement."""
+def augment_slab(spec: FilterSpec, x, P):
+  """MSCKF augmentation on slab state: x (dim_x, *b), P (de, de, *b) —
+  clone the current pose into the newest window slot (core/step.augment
+  semantics, reference ekf_sym.py:365-391). Built from contiguous slices
+  and concatenates only (the `keep` index set is two contiguous ranges),
+  so it lowers inside Pallas kernels as pure data movement."""
   assert spec.is_msckf
   d1, d2 = spec.dim_main, spec.dim_main_err
   d3, d4 = spec.dim_augment, spec.dim_augment_err
-  x_new = jnp.concatenate([x[:, :d1], x[:, d1 + d3:], x[:, :d3]], axis=1)
-  keep = np.concatenate([np.arange(d2), np.arange(d2 + d4, spec.dim_err)])
-  Pr = P[keep][:, keep]  # (de - d4, de - d4, B)
+  x_new = jnp.concatenate([x[:d1], x[d1 + d3:], x[:d3]])
+  # drop the oldest augment block's rows/cols (both contiguous ranges)
+  Pr = jnp.concatenate([
+      jnp.concatenate([P[:d2, :d2], P[:d2, d2 + d4:]], axis=1),
+      jnp.concatenate([P[d2 + d4:, :d2], P[d2 + d4:, d2 + d4:]], axis=1),
+  ])
   # to_mult projection = duplicate the first d4 rows/cols into the last slot
   P_new = jnp.concatenate([
       jnp.concatenate([Pr, Pr[:, :d4]], axis=1),
       jnp.concatenate([Pr[:d4], Pr[:d4, :d4]], axis=1),
   ])
   return x_new, _sym(P_new)
+
+
+def lane_augment(spec: FilterSpec, x, P):
+  """Banked MSCKF augmentation: x (B, dim_x) batch-major, P (de, de, B)
+  lane-major (the lane-bank convention); see augment_slab."""
+  x_new, P_new = augment_slab(spec, x.T, P)
+  return x_new.T, P_new
 
 
 def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,

@@ -207,6 +207,95 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
   p_out_ref[:] = P
 
 
+def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
+               p_out_ref, *, spec, kind, t_chunk: int, q_diag, r_mat,
+               gate: bool, structure):
+  from rednose_tpu.ops.entry_slab import entry_vo_frame_slab
+
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    x_out_ref[:] = x_in_ref[:]
+    p_out_ref[:] = p_in_ref[:]
+
+  def body(k, carry):
+    x, P = carry
+    dt = dts_ref[k, 0]
+    z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
+    ea = eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
+    return entry_vo_frame_slab(spec, kind, {}, x, P, z, ea, q_diag, r_mat,
+                               dt, structure, gate=gate)
+
+  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
+  x_out_ref[:] = x
+  p_out_ref[:] = P
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
+                     'tile_b', 'interpret', 'structure'))
+def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
+                 kind, q_diag, r_mat, gate: bool = False,
+                 t_chunk: int = 128, tile_b: int = 1024,
+                 interpret: bool = False, structure=None):
+  """T banked-VO frames, VMEM-resident: each frame is an MSCKF block
+  predict + nullspace-projected feature update + window augmentation
+  (ops/entry_slab.entry_vo_frame_slab) — the reference's feature kinds in
+  the same hot compiled kernel as everything else (templates/ekf_c.c:66-77
+  at kernel speed, with per-frame landmark positions streamed from HBM).
+
+  Layouts mirror generic_bank_scan, plus eas_packed (T, ea_len, 8, B/8)
+  per-frame per-lane feature positions."""
+  T = zs_packed.shape[0]
+  dx, de = spec.dim_x, spec.dim_err
+  dz, mea = spec.obs[kind].dz, spec.obs[kind].ea_len
+  bsub = x_packed.shape[-1]
+  B = SUBLANES * bsub
+  tile = tile_b // SUBLANES
+  assert x_packed.shape == (dx, SUBLANES, bsub), x_packed.shape
+  assert P_packed.shape == (de, de, SUBLANES, bsub), P_packed.shape
+  assert zs_packed.shape == (T, dz, SUBLANES, bsub), zs_packed.shape
+  assert eas_packed.shape == (T, mea, SUBLANES, bsub), eas_packed.shape
+  assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
+  n_b, n_t = B // tile_b, T // t_chunk
+
+  kernel = functools.partial(_vo_kernel, spec=spec, kind=kind,
+                             t_chunk=t_chunk, q_diag=q_diag, r_mat=r_mat,
+                             gate=gate, structure=structure)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n_b, n_t),
+      in_specs=[
+          pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((t_chunk, dz, SUBLANES, tile),
+                       lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t_chunk, mea, SUBLANES, tile),
+                       lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((dx, SUBLANES, bsub), x_packed.dtype),
+          jax.ShapeDtypeStruct((de, de, SUBLANES, bsub), P_packed.dtype),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(dts.reshape(T, 1), x_packed, P_packed, zs_packed, eas_packed)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',

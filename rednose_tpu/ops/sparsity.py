@@ -154,13 +154,15 @@ def f_columns(spec: FilterSpec, params, x, dt, cols: Cols):
   return dict(zip(cols, taps))
 
 
-def _dense_h_err(spec: FilterSpec, kind: int, params, x):
+def _dense_h_err(spec: FilterSpec, kind: int, params, x, ea=None):
   """Reference composed Jacobian H @ H_mod via the spec's own H_mod
-  (exactly what core/step.update computes)."""
+  (exactly what core/step.update computes). Feature kinds pass a real
+  (sampled) ea — zeros would put the landmark at the origin and mask
+  columns."""
   om = spec.obs[kind]
-  m = max(om.ea_len, 1)
-  ea0 = jnp.zeros((m,), dtype=x.dtype)
-  H = spec.H(kind, params, x, ea0)
+  if ea is None:
+    ea = jnp.zeros((max(om.ea_len, 1),), dtype=x.dtype)
+  H = spec.H(kind, params, x, ea)
   if spec.is_eskf:
     H = H @ spec.H_mod_at(params, x)
   return H
@@ -251,6 +253,33 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
                 f"kind {kind}: spec H_mod is inconsistent with "
                 f"d err/d dx at column {c} — the composed-H fast path "
                 f"would diverge from core/step semantics for this spec")
+      h_cols.append((int(kind), cols))
+
+    # feature (MSCKF) kinds: detect the composed-H column support with
+    # RANDOM landmark positions (the entry feature update restricts its
+    # taps and H P products to these columns). No composed-H consistency
+    # check here — the jvp identity is verified through the non-feature
+    # kinds above, and the feature path's Householder projection is
+    # basis-invariant regardless.
+    frng = np.random.RandomState(seed + 0xFEA7)
+    for kind, om in sorted(spec.obs.items()):
+      if not om.is_feature:
+        continue
+      mask = np.zeros((de,), dtype=bool)
+      for p, x in zip(ps_det, xs_det):
+        ea = jnp.asarray(frng.randn(om.ea_len))
+        Hd = np.asarray(_dense_h_err(spec, kind, p, jnp.asarray(x), ea))
+        mask |= (Hd != 0.0).any(axis=0)
+      cols = tuple(int(c) for c in np.nonzero(mask)[0])
+      for p, x in zip(ps_ver, xs_ver):
+        ea = jnp.asarray(frng.randn(om.ea_len))
+        Hd = np.asarray(_dense_h_err(spec, kind, p, jnp.asarray(x), ea))
+        bad = (Hd != 0.0).any(axis=0) & ~mask
+        if bad.any():
+          raise StructureError(
+              f"feature kind {kind}: H_err columns "
+              f"{np.nonzero(bad)[0].tolist()} nonzero on held-out samples "
+              f"but missed by detection")
       h_cols.append((int(kind), cols))
 
   return SpecStructure(f_rows=f_rows, h_cols=tuple(h_cols), g_cols=g_cols)

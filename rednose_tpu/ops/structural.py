@@ -220,9 +220,9 @@ class _Interp:
   def to_obj(self, v):
     if isinstance(v, np.ndarray) and v.dtype == object:
       return v
-    if isinstance(v, (int, float, np.ndarray, np.number)) or (
-        hasattr(v, "dtype") and not hasattr(v, "aval")
-        and isinstance(v, np.ndarray)):
+    if not isinstance(v, jax.core.Tracer):
+      # concrete: python number, numpy array, committed jax array, or a
+      # Literal's TypedNdArray wrapper — fold to structural constants
       arr = np.asarray(v)
       out = np.empty(arr.shape, dtype=object)
       for idx in np.ndindex(arr.shape):
@@ -389,6 +389,41 @@ class _Interp:
         for idx in np.ndindex(shape):
           out[idx] = _sel(*[v[idx] for v in bc])
         outs = [out]
+      elif name in ("scatter", "scatter-add"):
+        # the `.at[static slices].set/add` family: constant start indices,
+        # full-window updates — resolved at the OBJECT level, so user model
+        # code written with scatter updates (which Mosaic cannot lower)
+        # still reaches the kernels through this interpreter.
+        operand, indices, updates = invals
+        dn = p["dimension_numbers"]
+        uw = tuple(dn.update_window_dims)
+        # index 0 folds to structural None in to_obj — it is the const 0
+        starts_flat = [0 if e is None else e for e in indices.ravel()]
+        supported = (
+            not dn.inserted_window_dims and not dn.operand_batching_dims
+            and uw == tuple(range(updates.ndim))
+            and indices.ndim <= 1
+            and all(isinstance(e, (int, float)) for e in starts_flat))
+        if not supported:
+          raise NotImplementedError(
+              f"structural interpreter: only static-slice scatters "
+              f"(.at[i:j].set/.add with constant indices) are supported; "
+              f"got {name} with {dn}, indices shape {indices.shape} "
+              f"elements {[type(e).__name__ for e in starts_flat]}, "
+              f"updates ndim {updates.ndim} — rewrite the model with "
+              f"jnp.concatenate, or keep this spec off the kernel paths")
+        start = [0] * operand.ndim
+        for d, si in zip(tuple(dn.scatter_dims_to_operand_dims),
+                         starts_flat):
+          start[d] = int(si)
+        region = tuple(slice(start[d], start[d] + updates.shape[d])
+                       for d in range(operand.ndim))
+        out = operand.copy()
+        if name == "scatter":
+          out[region] = updates
+        else:
+          out[region] = self.ew2(operand[region], updates, self.s_add)
+        outs = [out]
       elif name == "integer_pow":
         y = p["y"]
         outs = [self.ew1(
@@ -485,10 +520,10 @@ def run_primal(fn, logical_args, slab_args, interp: _Interp):
   closed = jax.make_jaxpr(fn)(*logical_args)
   consts = []
   for c in closed.consts:
-    if not hasattr(c, "aval"):  # concrete numpy / python: fold
-      consts.append(interp.to_obj(np.asarray(c)))
-    else:
+    if isinstance(c, jax.core.Tracer):  # genuinely traced closure value
       consts.append(interp.lazy_obj(c, tuple(np.shape(c))))
+    else:  # concrete (numpy, python, committed jax array): fold to consts
+      consts.append(interp.to_obj(np.asarray(c)))
   objs = []
   for a, ls in zip(slab_args, logical_args):
     if isinstance(a, np.ndarray) and a.dtype == object:
@@ -518,10 +553,10 @@ def run_entry_taps(fn, logical_args, slab_args, n: int, dtype, cols,
   closed = jax.make_jaxpr(wrapper)(*logical_args, sds, sds)
   consts = []
   for c in closed.consts:
-    if not hasattr(c, "aval"):
-      consts.append(interp.to_obj(np.asarray(c)))
-    else:
+    if isinstance(c, jax.core.Tracer):  # genuinely traced closure value
       consts.append(interp.lazy_obj(c, tuple(np.shape(c))))
+    else:  # concrete (numpy, python, committed jax array): fold to consts
+      consts.append(interp.to_obj(np.asarray(c)))
   objs = []
   for a, ls in zip(slab_args, logical_args):
     if isinstance(a, np.ndarray) and a.dtype == object:

@@ -211,3 +211,106 @@ def test_entry_step_matches_oracle_live_odo():
   _check_parity(LiveKalman.build_spec(), LK.ODOMETRIC_SPEED,
                 LiveKalman.initial_x, np.diag(LiveKalman.Q),
                 np.atleast_2d(0.05**2), gate=False, tol=2e-5)
+
+
+def _vo_setup(B=16, T=4, seed=0):
+  from rednose_tpu.models.msckf_vo import (
+      ObservationKind as VK,
+      build_msckf_vo_spec,
+  )
+
+  spec = build_msckf_vo_spec()
+  kind = int(VK.MSCKF_TEST)
+  om = spec.obs[kind]
+  st = sparsity.detect_structure(spec, np.zeros(spec.dim_x))
+  rng = np.random.RandomState(seed)
+  x0 = np.concatenate([0.1 * rng.randn(spec.dim_main),
+                       0.3 * rng.randn(spec.n_augment * spec.dim_augment)])
+  xs = np.tile(x0, (B, 1)) + 0.02 * rng.randn(B, spec.dim_x)
+  Ps = np.stack([np.eye(spec.dim_err) * 0.1] * B, -1)
+  eas = np.array([2.0, 1.5, 8.0])[None, None] + 0.1 * rng.randn(T, B, 3)
+  zs = np.stack([np.stack([
+      np.asarray(om.h({}, jnp.asarray(xs[i]), jnp.asarray(eas[t, i])))
+      + 0.005 * rng.randn(om.dz) for i in range(B)]) for t in range(T)])
+  return spec, kind, om, st, xs, Ps, eas, zs
+
+
+@pytest.mark.slow
+def test_entry_vo_kernel_interpret_matches_oracle():
+  """The banked-VO Pallas kernel (vo_bank_scan: MSCKF block predict +
+  Householder-projected feature update + window augment IN-KERNEL) vs the
+  sequential core/step oracle — the reference's feature kinds in the same
+  hot kernel as everything else (templates/ekf_c.c:66-77). Also exercises
+  the structural interpreter's static-scatter rule: msckf_vo's dynamics
+  use .at[0:3].add, which Mosaic cannot lower but the interpreter absorbs.
+  """
+  spec, kind, om, st, xs, Ps, eas, zs = _vo_setup()
+  dtype = jnp.float32
+  B, T = xs.shape[0], zs.shape[0]
+  dts = np.full((T,), 0.05)
+  q_diag = tuple(0.01 for _ in range(spec.dim_err))
+  r_mat = tuple(tuple(0.02**2 if i == j else 0.0 for j in range(om.dz))
+                for i in range(om.dz))
+
+  xp, Pp = pallas_bank.pack_bank(jnp.asarray(xs, dtype),
+                                 jnp.asarray(Ps, dtype))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, dtype))
+  easp = pallas_bank.pack_bank_measurements(jnp.asarray(eas, dtype))
+  xo_p, Po_p = pallas_bank.vo_bank_scan(
+      xp, Pp, zsp, easp, jnp.asarray(dts, dtype), spec=spec, kind=kind,
+      q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=2, tile_b=8,
+      interpret=True, structure=st)
+  x_out, P_out = pallas_bank.unpack_bank(xo_p, Po_p)
+
+  Q = jnp.asarray(np.diag(q_diag), dtype)
+  R = jnp.asarray(np.asarray(r_mat), dtype)
+  for i in range(B):
+    x, P = jnp.asarray(xs[i], dtype), jnp.asarray(Ps[:, :, i], dtype)
+    for t in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, Q, dts[t])
+      x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                jnp.asarray(zs[t, i], dtype), R,
+                                jnp.asarray(eas[t, i], dtype))
+      x, P = step_ops.augment(spec, x, P)
+    assert float(jnp.abs(x - x_out[i]).max()) < 2e-5
+    assert float(jnp.abs(P - P_out[:, :, i]).max()) < 2e-4
+
+
+def test_entry_feature_update_anisotropic_R():
+  """The non-isotropic-R branch (full Q^T R Q projection) vs oracle."""
+  spec, kind, om, st, xs, Ps, eas, zs = _vo_setup(B=6, T=1, seed=3)
+  dtype = jnp.float64
+  Rnp = np.diag(0.01 + 0.005 * np.arange(om.dz))
+  r_mat = tuple(tuple(float(v) for v in row) for row in Rnp)
+  xn, Pn, _ = entry_slab.entry_feature_update_slab(
+      spec, kind, {}, jnp.asarray(xs.T, dtype), jnp.asarray(Ps, dtype),
+      jnp.asarray(zs[0].T, dtype), r_mat, False, jnp.asarray(eas[0].T,
+                                                             dtype),
+      structure=st)
+  for i in range(xs.shape[0]):
+    xo, Po, _ = step_ops.update(
+        spec, kind, {}, jnp.asarray(xs[i], dtype),
+        jnp.asarray(Ps[:, :, i], dtype), jnp.asarray(zs[0, i], dtype),
+        jnp.asarray(Rnp, dtype), jnp.asarray(eas[0, i], dtype))
+    np.testing.assert_allclose(np.asarray(xn[:, i]), np.asarray(xo),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Pn[:, :, i]), np.asarray(Po),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_entry_absorbs_static_scatter():
+  """User model code written with .at[slice].add/.set reaches the entry
+  path: the structural interpreter resolves static-slice scatters at the
+  object level (Mosaic itself cannot lower scatter)."""
+  from rednose_tpu.core.spec import FilterSpec, ObservationModel
+
+  def f(params, x, dt):
+    x = x.at[0:2].add(dt * x[2:4])
+    return x.at[3:4].set(x[3:4] * 0.99)
+
+  spec = FilterSpec(
+      name="scatterful", dim_x=4, dim_err=4, f=f,
+      obs={1: ObservationModel(kind=1, h=lambda p, x, ea: x[:2], dz=2)})
+  st = sparsity.detect_structure(spec, np.array([1.0, 2.0, 0.5, -0.3]))
+  _check_parity(spec, 1, np.array([1.0, 2.0, 0.5, -0.3]),
+                np.full(4, 0.01), np.diag([0.1, 0.2]), gate=False)
