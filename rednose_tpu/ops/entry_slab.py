@@ -159,7 +159,6 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
     for k in structure.g_cols:
       acc = _acc(acc, _ent_mul(G[k][i], P_rows[k]))
     m_rows.append(acc)
-  zero_mrow = zero_row if m_dim == de else P[0][:m_dim] * 0.0
   if m_dim == de:
     M = _stack_rows(m_rows, zero_row)  # (de, de, *b)
 
@@ -218,7 +217,10 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   entry-by-entry. z (dz, *b); R a (dz, dz) nested static tuple or array.
   Returns (x_new, P_new, y)."""
   om = spec.obs[kind]
-  assert not om.is_feature, "MSCKF feature kinds: use runtime/bank"
+  assert not om.is_feature, "feature kinds: entry_feature_update_slab"
+  assert om.ea_len == 0, (
+      "this kind takes real extra args (pseudorange family); the entry "
+      "update has no ea stream — use the driver or lane_update(ea=...)")
   dz, de = om.dz, spec.dim_err
   dtype = x.dtype
   zero = x[0] * 0.0

@@ -375,6 +375,10 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
         lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
     return x_new, P_new, y.T
 
+  assert ea is not None or om.ea_len == 0, (
+      f"kind {kind} takes real extra args (ea_len={om.ea_len}); pass "
+      "ea=(B, ea_len) — a zeros placeholder would silently evaluate h at "
+      "the origin")
   if om.is_feature:
     # MSCKF feature-track update at bank speed: per-lane He, an unrolled
     # Householder projection onto null(He^T), then the ordinary slab

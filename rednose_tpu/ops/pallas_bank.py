@@ -11,13 +11,17 @@ hand-derivation required; the win over the pure-jnp lane bank is the
 eliminated per-step HBM round-trip of the (d, d, B) covariance.
 
 Lowering constraints on the spec functions (Mosaic TPU, see CLAUDE.md):
-  * no scatter: `.at[...].add` does not lower (`.at[...].set` on static
-    slices is fine). Shipped example: models/kinematic.py builds its
-    dynamics with jnp.stack.
   * runtime `params` must be {} / static scalars (array params would need
-    to be threaded as kernel inputs).
-MSCKF feature kinds and block-structured specs stay on runtime/bank.py.
-Parity with the core/step.py oracle: tests/test_pallas_bank.py.
+    to be threaded as kernel inputs);
+  * the DENSE (entry=False) body cannot lower scatter (`.at[...].add`);
+    the default entry-level body (ops/entry_slab.py) absorbs static-slice
+    scatters at the interpreter level, so idiomatic `.at[i:j].set/.add`
+    model code reaches the kernel;
+  * non-feature kinds with real extra args (the pseudorange family) have
+    no ea stream here — they stay on the driver / lane_update(ea=...).
+MSCKF specs: vo_bank_scan runs block predict + feature update + window
+augmentation in-kernel. Parity with the core/step.py oracle:
+tests/test_pallas_bank.py, tests/test_entry_slab.py.
 """
 
 from __future__ import annotations
@@ -108,7 +112,10 @@ def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   and H P / S accumulate over just those columns (detect_structure has
   verified the composed-H identity against the spec's H_mod)."""
   om = spec.obs[kind]
-  assert not om.is_feature, "MSCKF feature kinds: use runtime/bank"
+  assert not om.is_feature, "MSCKF feature kinds: use vo_bank_scan"
+  assert om.ea_len == 0, (
+      "this kind takes real extra args (pseudorange family); this kernel "
+      "has no ea stream — use the driver or lane_update(ea=...)")
   dz, de = om.dz, spec.dim_err
 
   if structure is None:

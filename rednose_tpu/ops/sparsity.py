@@ -185,8 +185,15 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
   if params is None:
     params = spec.default_params
   if kinds is None:
+    # only ea-free kinds take the composed-H jvp path (its placeholder ea
+    # is zeros — a pseudorange kind sampled with the satellite at the
+    # origin would mask real columns); ea_len > 0 kinds get a cols-only
+    # detection with randomly sampled extra args below
     kinds = tuple(sorted(k for k, om in spec.obs.items()
-                         if not om.is_feature))
+                         if om.ea_len == 0))
+  assert all(spec.obs[k].ea_len == 0 for k in kinds), (
+      "explicit kinds= must be ea-free; ea_len>0 kinds are detected "
+      "automatically with sampled extra args", kinds)
   de = spec.dim_err
 
   cpu = jax.local_devices(backend="cpu")[0]
@@ -255,15 +262,15 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
                 f"would diverge from core/step semantics for this spec")
       h_cols.append((int(kind), cols))
 
-    # feature (MSCKF) kinds: detect the composed-H column support with
-    # RANDOM landmark positions (the entry feature update restricts its
-    # taps and H P products to these columns). No composed-H consistency
-    # check here — the jvp identity is verified through the non-feature
-    # kinds above, and the feature path's Householder projection is
+    # extra-args kinds (MSCKF feature tracks AND the pseudorange family):
+    # detect the composed-H column support with RANDOMLY sampled extra
+    # args (landmark / satellite positions). No composed-H consistency
+    # check here — the jvp identity is verified through the ea-free kinds
+    # above, and the feature path's Householder projection is
     # basis-invariant regardless.
     frng = np.random.RandomState(seed + 0xFEA7)
     for kind, om in sorted(spec.obs.items()):
-      if not om.is_feature:
+      if om.ea_len == 0:
         continue
       mask = np.zeros((de,), dtype=bool)
       for p, x in zip(ps_det, xs_det):
@@ -277,7 +284,7 @@ def detect_structure(spec: FilterSpec, x0, kinds=None, params=None,
         bad = (Hd != 0.0).any(axis=0) & ~mask
         if bad.any():
           raise StructureError(
-              f"feature kind {kind}: H_err columns "
+              f"extra-args kind {kind}: H_err columns "
               f"{np.nonzero(bad)[0].tolist()} nonzero on held-out samples "
               f"but missed by detection")
       h_cols.append((int(kind), cols))

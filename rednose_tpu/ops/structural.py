@@ -375,13 +375,20 @@ class _Interp:
             lambda a, b, jfn=jfn, name=name: self.s_binop(name, a, b, jfn))]
       elif name == "select_n":
         # elementwise n-way select; no structural shortcut (the predicate
-        # decides at runtime) — materialize Nones per element
+        # decides at runtime) — materialize Nones per element, and in slab
+        # mode broadcast every case to the common payload shape (lax.select
+        # requires identical case shapes; a () const case against a (*b)
+        # traced case would otherwise crash)
         def _sel(*elems):
           vals = [0.0 if e is None else
                   (e.resolve() if isinstance(e, _Elem) else e)
                   for e in elems]
-          return eqn.primitive.bind(*[jnp.asarray(v) if isinstance(
-              v, (int, float, bool)) else v for v in vals], **p)
+          vals = [jnp.asarray(v) if isinstance(v, (int, float, bool))
+                  else v for v in vals]
+          pshape = np.broadcast_shapes(*[jnp.shape(v) for v in vals])
+          if pshape:
+            vals = [jnp.broadcast_to(v, pshape) for v in vals]
+          return eqn.primitive.bind(*vals, **p)
 
         shape = np.broadcast_shapes(*[v.shape for v in invals])
         bc = [np.broadcast_to(v, shape) for v in invals]
@@ -464,8 +471,9 @@ class _Interp:
         outs = [invals[0]]
       elif name == "expand_dims":
         outs = [np.expand_dims(invals[0], tuple(p["dimensions"]))]
-      elif name in ("pjit", "closed_call", "core_call", "custom_jvp_call",
-                    "custom_vjp_call", "remat", "checkpoint"):
+      elif name in ("pjit", "jit", "closed_call", "core_call",
+                    "custom_jvp_call", "custom_vjp_call", "remat",
+                    "checkpoint"):
         inner = None
         for key in ("jaxpr", "call_jaxpr"):
           if key in p:

@@ -94,12 +94,14 @@ class LiveKalmanBank:
     return jnp.transpose(self._P, (2, 0, 1))
 
   def state(self) -> BankState:
-    # per-lane t mirrors the shared bank clock (every lane steps in
-    # lockstep); consumers reading BankState.t get real filter times, and
-    # save/load keeps the f64 epoch exact alongside (r2 verdict: zeros
-    # here looked like valid filter times)
+    # BankState.t is seconds SINCE epoch (runtime/bank.py contract) and
+    # every lane steps in lockstep with the shared bank clock, so the real
+    # per-lane filter time is exactly epoch + 0: t=0 here is not a
+    # fabrication, it keeps absolute_t() == self.t while the f64 epoch
+    # carries the full-precision clock (f32 lanes would quantize an
+    # epoch-scale time to ~256 s, CLAUDE.md)
     return BankState(x=self._x, P=self.P,
-                     t=jnp.full((self.batch,), self.t, self.dtype),
+                     t=jnp.zeros((self.batch,), self.dtype),
                      epoch=self.t)
 
   def diverged(self):
@@ -125,6 +127,9 @@ class LiveKalmanBank:
     P0 = jnp.asarray(np.diag(P_diag), self.dtype)
     self._x = jnp.where(bad[:, None], x0[None, :], self._x)
     self._P = jnp.where(bad[None, None, :], P0[:, :, None], self._P)
+    # a later rewind must never replay through a pre-reset snapshot and
+    # resurrect the diverged lanes
+    self._ring.clear()
     return int(jnp.sum(bad))
 
   def save(self, path):
@@ -136,6 +141,7 @@ class LiveKalmanBank:
     self._x = st.x
     self._P = jnp.transpose(st.P, (1, 2, 0))
     self.t = st.epoch
+    self._ring.clear()  # snapshots from before the load are another timeline
     return self
 
   # --------------------------------------------------- per-observation API

@@ -133,7 +133,9 @@ class BankRewindRing:
     del self._ckpt_t[i + 1:], self._ckpt_state[i + 1:], self._ckpt_idx[i + 1:]
     replay = self._obs[idx:]
     del self._obs_t[idx:], self._obs[idx:]
-    self._since_ckpt = 1  # the restored snapshot covers the current state
+    # the restored snapshot covers the current state; reduce mod the
+    # cadence so ckpt_every == 1 keeps snapshotting every record
+    self._since_ckpt = 1 % self.ckpt_every
     return t_restore, state, replay
 
   def can_rewind(self, t: float, max_rewind_age: float) -> bool:

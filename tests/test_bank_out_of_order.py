@@ -110,3 +110,55 @@ def test_bank_ring_window_bound():
   # ...and older than the ring raises
   with pytest.raises(ValueError):
     ring.rewind(t0 - 50.0)
+
+
+def test_state_time_contract_and_load_clears_ring(tmp_path):
+  """Review r3 regressions: BankState.t is seconds SINCE epoch
+  (absolute_t() == bank clock, not twice it), and load() resets the
+  rewind ring so observations after a restore never trip the
+  non-decreasing-time invariant with pre-save snapshots."""
+  obs = _stream(T=40)
+  bank, _ = _run(obs)
+  st = bank.state()
+  assert float(np.asarray(st.absolute_t()).max()) == bank.t
+  path = tmp_path / "bank.npz"
+  bank.save(path)
+  t_saved = bank.t
+  # advance past the save point, then restore and continue from t_saved
+  for t, k, z, R in _stream(T=10, seed=9):
+    bank.observe(t_saved + t, k, z, R=R)
+  bank.load(path)
+  assert bank.t == t_saved
+  t, k, z, R = _stream(T=1, seed=11)[0]
+  assert bank.observe(t_saved + t, k, z, R=R) is not None
+
+
+def test_reset_diverged_clears_ring():
+  """A late observation after an elastic reset must not replay through a
+  pre-reset snapshot and resurrect diverged lanes."""
+  obs = _stream(T=20)
+  bank, _ = _run(obs)
+  # poison one lane, reset it
+  bad_x = np.asarray(bank.x).copy()
+  bad_x[0] = np.nan
+  bank._x = np.asarray(bad_x)
+  import jax.numpy as jnp
+  bank._x = jnp.asarray(bad_x, bank.dtype)
+  assert bank.reset_diverged() == 1
+  # a late observation inside the old window is now DROPPED (ring cleared)
+  assert bank.observe(bank.t - 0.05, int(K.ECEF_POS),
+                      LiveKalman.initial_x[:3]) is None
+  assert np.all(np.isfinite(np.asarray(bank.x)))
+
+
+def test_bank_ring_every_observation_cadence():
+  """ckpt_every=1 keeps snapshotting every record even after a rewind
+  (review r3: _since_ckpt must reduce mod the cadence)."""
+  ring = BankRewindRing(ckpt_every=1, ckpt_keep=8)
+  for i in range(6):
+    ring.record(float(i), ("s", i), ("o", i))
+  ring.rewind(3.0)
+  for i in range(4, 8):
+    ring.record(float(i), ("s", i), ("o", i))
+  # every retained observation has its own snapshot
+  assert len(ring._ckpt_t) == min(8, len(ring))
