@@ -211,30 +211,43 @@ def _normalize_slices_slab(x, idxs):
 
 
 def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
-                     gate: bool, structure):
+                     gate: bool, structure, ea=None):
   """Measurement update on slab state with the composed H = H·H_mod taps
   (jvp through the error injection, verified by detect_structure) consumed
   entry-by-entry. z (dz, *b); R a (dz, dz) nested static tuple or array.
-  Returns (x_new, P_new, y)."""
+  Non-feature kinds with real extra args (the pseudorange family) pass
+  their per-lane satellite states as ea (ea_len, *b) — the observation h
+  consumes them exactly as on the driver/lane paths. Returns
+  (x_new, P_new, y)."""
   om = spec.obs[kind]
   assert not om.is_feature, "feature kinds: entry_feature_update_slab"
-  assert om.ea_len == 0, (
-      "this kind takes real extra args (pseudorange family); the entry "
-      "update has no ea stream — use the driver or lane_update(ea=...)")
   dz, de = om.dz, spec.dim_err
   dtype = x.dtype
   zero = x[0] * 0.0
   interp = structural._Interp(zero)
 
   lx = _sds((spec.dim_x,), dtype)
-  m = max(om.ea_len, 1)
-
-  def fn_h(xx, vv):
-    return om.h(params, spec.err(params, xx, vv), xx[:m] * 0.0)
-
   cols = structure.cols_for(kind)
-  h_obj, taps = structural.run_entry_taps(fn_h, (lx,), (x,), de, dtype,
-                                          cols, interp)
+
+  if om.ea_len:
+    assert ea is not None and ea.shape[0] == om.ea_len, (
+        f"kind {kind} takes {om.ea_len} extra args; got "
+        f"{None if ea is None else ea.shape}")
+    lea = _sds((om.ea_len,), dtype)
+
+    def fn_h(xx, ee, vv):
+      return om.h(params, spec.err(params, xx, vv), ee)
+
+    h_obj, taps = structural.run_entry_taps(fn_h, (lx, lea), (x, ea), de,
+                                            dtype, cols, interp)
+  else:
+    assert ea is None, f"kind {kind} takes no extra args"
+
+    def fn_h(xx, vv):
+      return om.h(params, spec.err(params, xx, vv), xx[:1] * 0.0)
+
+    h_obj, taps = structural.run_entry_taps(fn_h, (lx,), (x,), de, dtype,
+                                            cols, interp)
   h = interp.materialize(h_obj)
   y = z - h
 
@@ -406,11 +419,11 @@ def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
 
 
 def entry_step_slab(spec: FilterSpec, kind: int, params, x, P, z, q_diag,
-                   r_mat, dt, structure, gate: bool = False):
+                   r_mat, dt, structure, gate: bool = False, ea=None):
   """One fused predict + update (the kernel-body hot path)."""
   x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
   return entry_update_slab(spec, kind, params, x, P, z, r_mat, gate,
-                           structure)
+                           structure, ea=ea)
 
 
 def entry_vo_frame_slab(spec: FilterSpec, kind: int, params, x, P, z, ea,

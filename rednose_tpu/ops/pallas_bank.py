@@ -17,8 +17,10 @@ Lowering constraints on the spec functions (Mosaic TPU, see CLAUDE.md):
     the default entry-level body (ops/entry_slab.py) absorbs static-slice
     scatters at the interpreter level, so idiomatic `.at[i:j].set/.add`
     model code reaches the kernel;
-  * non-feature kinds with real extra args (the pseudorange family) have
-    no ea stream here — they stay on the driver / lane_update(ea=...).
+  * non-feature kinds with real extra args (the pseudorange family)
+    stream per-step per-lane satellite states via
+    generic_bank_scan(eas_packed=...), same layout as the VO kernel's
+    landmark stream.
 MSCKF specs: vo_bank_scan runs block predict + feature update + window
 augmentation in-kernel. Parity with the core/step.py oracle:
 tests/test_pallas_bank.py, tests/test_entry_slab.py.
@@ -102,9 +104,11 @@ def generic_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
 
 
 def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
-                        gate: bool = False, structure=None):
+                        gate: bool = False, structure=None, ea=None):
   """Dense generic update on slab state: z (dz, *b); R is a (dz, dz) nested
   static tuple (kernel) or array (jnp use). ESKF H_mod chain included.
+  Non-feature extra-args kinds (the pseudorange family) pass per-lane
+  satellite states as ea (ea_len, *b).
 
   With a detected `structure` (ops/sparsity.SpecStructure) the composed
   H_err = H @ H_mod is instead computed column-by-column via jax.jvp
@@ -113,18 +117,25 @@ def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   verified the composed-H identity against the spec's H_mod)."""
   om = spec.obs[kind]
   assert not om.is_feature, "MSCKF feature kinds: use vo_bank_scan"
-  assert om.ea_len == 0, (
-      "this kind takes real extra args (pseudorange family); this kernel "
-      "has no ea stream — use the driver or lane_update(ea=...)")
+  if om.ea_len:
+    assert ea is not None and ea.shape[0] == om.ea_len, (
+        f"kind {kind} takes {om.ea_len} extra args; got "
+        f"{None if ea is None else ea.shape}")
+  else:
+    assert ea is None, f"kind {kind} takes no extra args"
   dz, de = om.dz, spec.dim_err
 
   if structure is None:
-    m = max(om.ea_len, 1)
-    # ea placeholder built from x (a jnp.zeros constant would be rejected
-    # as a captured constant inside Pallas kernels)
-    h = _vt(unroll_dots(lambda xx: om.h(params, xx, xx[:m] * 0.0)))(x)
-    H = _vt(unroll_dots(
-        lambda xx: spec.H(kind, params, xx, xx[:m] * 0.0)))(x)
+    if om.ea_len:
+      h = _vt2(unroll_dots(lambda xx, ee: om.h(params, xx, ee)))(x, ea)
+      H = _vt2(unroll_dots(
+          lambda xx, ee: spec.H(kind, params, xx, ee)))(x, ea)
+    else:
+      # ea placeholder built from x (a jnp.zeros constant would be rejected
+      # as a captured constant inside Pallas kernels)
+      h = _vt(unroll_dots(lambda xx: om.h(params, xx, xx[:1] * 0.0)))(x)
+      H = _vt(unroll_dots(
+          lambda xx: spec.H(kind, params, xx, xx[:1] * 0.0)))(x)
     if spec.is_eskf:
       Hm = _vt(unroll_dots(lambda xx: spec.H_mod_at(params, xx)))(x)
       H = _mm_l(H, Hm, spec.dim_x)        # (dz, de, *b)
@@ -133,8 +144,13 @@ def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   else:
     cols = structure.cols_for(kind)
     assert cols, f"kind {kind}: observation has all-zero H"
-    h, h_cols = _vt(unroll_dots(
-        lambda xx: composed_h_jvp(spec, kind, params, xx, cols)))(x)
+    if om.ea_len:
+      h, h_cols = _vt2(unroll_dots(
+          lambda xx, ee: composed_h_jvp(spec, kind, params, xx, cols,
+                                        ea=ee)))(x, ea)
+    else:
+      h, h_cols = _vt(unroll_dots(
+          lambda xx: composed_h_jvp(spec, kind, params, xx, cols)))(x)
     HP = sum(hc[:, None] * P[c][None] for c, hc in zip(cols, h_cols))
     S = sum(HP[:, c][:, None] * hc[None] for c, hc in zip(cols, h_cols))
   y = z - h
@@ -207,6 +223,39 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
                                   structure=structure)
       x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
                                     gate=gate, structure=structure)
+    return (x, P)
+
+  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
+  x_out_ref[:] = x
+  p_out_ref[:] = P
+
+
+def _kernel_ea(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
+               p_out_ref, *, spec, kind, t_chunk: int, q_diag, r_mat,
+               gate: bool, structure, entry: bool):
+  """generic _kernel plus a per-step per-lane extra-args stream (the
+  pseudorange family's satellite states), mirroring _vo_kernel's layout."""
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    x_out_ref[:] = x_in_ref[:]
+    p_out_ref[:] = p_in_ref[:]
+
+  def body(k, carry):
+    x, P = carry
+    dt = dts_ref[k, 0]
+    z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
+    ea = eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
+    if entry:
+      from rednose_tpu.ops.entry_slab import entry_step_slab
+      x, P, _ = entry_step_slab(spec, kind, {}, x, P, z, q_diag, r_mat,
+                                dt, structure, gate=gate, ea=ea)
+    else:
+      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+                                  structure=structure)
+      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
+                                    gate=gate, structure=structure, ea=ea)
     return (x, P)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
@@ -307,16 +356,20 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
                      'tile_b', 'interpret', 'structure', 'entry'))
-def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
-                      q_diag, r_mat, gate: bool = False, t_chunk: int = 128,
-                      tile_b: int = 1024, interpret: bool = False,
-                      structure=None, entry: bool = True):
+def generic_bank_scan(x_packed, P_packed, zs_packed, dts, eas_packed=None,
+                      *, spec, kind, q_diag, r_mat, gate: bool = False,
+                      t_chunk: int = 128, tile_b: int = 1024,
+                      interpret: bool = False, structure=None,
+                      entry: bool = True):
   """T fused predict+update steps of ANY scatter-free spec, VMEM-resident.
 
   Args mirror pallas_live.live_bank_scan with generic dims: x_packed
   (dim_x, 8, B/8), P_packed (de, de, 8, B/8), zs_packed (T, dz, 8, B/8),
   q_diag static tuple of de diagonal process-noise scalars, r_mat static
-  (dz, dz) nested tuple. Pass `structure` (ops/sparsity.detect_structure)
+  (dz, dz) nested tuple. Non-feature extra-args kinds (the loc_kf
+  pseudorange family) stream their per-step per-lane satellite states as
+  eas_packed (T, ea_len, 8, B/8) — pack with pack_bank_measurements.
+  Pass `structure` (ops/sparsity.detect_structure)
   to unroll only the structurally nonzero Jacobian entries — the automated
   equivalent of the hand-derived flagship kernel's sparsity
   (ops/live_lane.py). With a structure, `entry=True` (default) emits the
@@ -327,6 +380,7 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
   """
   T = zs_packed.shape[0]
   dx, de, dz = spec.dim_x, spec.dim_err, spec.obs[kind].dz
+  mea = spec.obs[kind].ea_len
   bsub = x_packed.shape[-1]
   B = SUBLANES * bsub
   tile = tile_b // SUBLANES
@@ -335,26 +389,40 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
   assert zs_packed.shape == (T, dz, SUBLANES, bsub), zs_packed.shape
   assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
   assert len(q_diag) == de and len(r_mat) == dz, (len(q_diag), len(r_mat))
+  assert (eas_packed is None) == (mea == 0), (
+      f"kind {kind} ea_len={mea}: pass eas_packed iff the kind takes "
+      "extra args")
+  if eas_packed is not None:
+    assert eas_packed.shape == (T, mea, SUBLANES, bsub), eas_packed.shape
   n_b, n_t = B // tile_b, T // t_chunk
 
-  kernel = functools.partial(_kernel, spec=spec, kind=kind, t_chunk=t_chunk,
+  base = _kernel_ea if eas_packed is not None else _kernel
+  kernel = functools.partial(base, spec=spec, kind=kind, t_chunk=t_chunk,
                              q_diag=q_diag, r_mat=r_mat, gate=gate,
                              structure=structure,
                              entry=entry and structure is not None)
 
+  in_specs = [
+      pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((t_chunk, dz, SUBLANES, tile),
+                   lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+  ]
+  operands = [dts.reshape(T, 1), x_packed, P_packed, zs_packed]
+  if eas_packed is not None:
+    in_specs.append(
+        pl.BlockSpec((t_chunk, mea, SUBLANES, tile),
+                     lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM))
+    operands.append(eas_packed)
+
   return pl.pallas_call(
       kernel,
       grid=(n_b, n_t),
-      in_specs=[
-          pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
-                       memory_space=pltpu.SMEM),
-          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((t_chunk, dz, SUBLANES, tile),
-                       lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
-      ],
+      in_specs=in_specs,
       out_specs=(
           pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
                        memory_space=pltpu.VMEM),
@@ -368,4 +436,4 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, *, spec, kind,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(dts.reshape(T, 1), x_packed, P_packed, zs_packed)
+  )(*operands)

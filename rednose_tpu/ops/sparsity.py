@@ -113,25 +113,30 @@ def perturb_params(params, rng, rel: float = 0.1, absolute: float = 0.5):
   return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def composed_h_jvp(spec: FilterSpec, kind: int, params, x, cols: Cols):
+def composed_h_jvp(spec: FilterSpec, kind: int, params, x, cols: Cols,
+                   ea=None):
   """h(x) and the requested columns of d h(err(x, dx))/d dx at dx = 0,
   via ONE jax.linearize + structurally-evaluated per-column taps
   (ops/structural.linear_taps: one-hot zeros propagate symbolically, so
   each column emits only its nonzero scalar arithmetic — the sympy-
   codegen result, derived from the user's jnp model). Unbatched x; vmap
   for slabs. Everything is derived from x (captured-constant-free: safe
-  inside Pallas kernels).
+  inside Pallas kernels). Extra-args kinds (the pseudorange family) pass
+  their real ea (ea_len,) — the zero placeholder is only correct for
+  ea-free kinds.
 
   Returns (h (dz,), H_cols list of (dz,)).
   """
   om = spec.obs[kind]
   de = spec.dim_err
-  m = max(om.ea_len, 1)
-  ea0 = x[:m] * 0.0
+  if ea is None:
+    assert om.ea_len == 0, (
+        f"kind {kind} takes {om.ea_len} extra args; pass ea=")
+    ea = x[:1] * 0.0
   dx0 = x[:de] * 0.0
 
   def fn(dd):
-    return om.h(params, spec.err(params, x, dd), ea0)
+    return om.h(params, spec.err(params, x, dd), ea)
 
   return structural.jvp_taps(fn, de, x.dtype, cols, dx0[0])
 

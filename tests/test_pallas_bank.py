@@ -92,3 +92,74 @@ def test_generic_kernel_matches_oracle(case):
   np.testing.assert_allclose(np.asarray(xu), x_ref, rtol=2e-4, atol=2e-4)
   np.testing.assert_allclose(np.asarray(Pu).transpose(2, 0, 1), P_ref,
                              rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_structure", [False, True])
+@pytest.mark.parametrize("kind_name", ["PSEUDORANGE_GPS",
+                                       "PSEUDORANGE_RATE_GPS"])
+def test_generic_kernel_pseudorange_ea(kind_name, use_structure):
+  """Non-feature extra-args kinds (the loc_kf pseudorange family) through
+  the generic kernel's ea stream — per-step per-lane satellite states —
+  vs the core/step oracle, on both the dense and the entry/structure
+  bodies."""
+  from rednose_tpu.models.live import ObservationKind as OK
+  from rednose_tpu.models.loc import LocKalman
+  from rednose_tpu.ops import sparsity
+
+  spec = LocKalman.build_spec()
+  kind = int(getattr(OK, kind_name))
+  om = spec.obs[kind]
+  B, T = 16, 6
+  rng = np.random.RandomState(7)
+
+  x0 = np.tile(LocKalman.initial_x, (B, 1)) + rng.randn(B, 11)
+  x0[:, 3:6] += 5.0 * rng.randn(B, 3)
+  P0 = np.tile(np.eye(11) * 10.0, (B, 1, 1))
+  Q = np.asarray(LocKalman.Q)
+  dts = np.full((T,), 0.1)
+
+  sat_pos = LocKalman.initial_x[:3][None, None] \
+      + 2.0e7 * rng.randn(T, B, 3)
+  if om.ea_len == 3:
+    eas = sat_pos
+    rho = np.linalg.norm(x0[None, :, :3] - sat_pos, axis=-1)
+    zs = (rho + x0[None, :, 6] + 2.0 * rng.randn(T, B))[..., None]
+    R = np.atleast_2d(4.0)
+  else:
+    sat_vel = 3e3 * rng.randn(T, B, 3)
+    eas = np.concatenate([sat_pos, sat_vel], axis=-1)
+    d = x0[None, :, :3] - sat_pos
+    u = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    zs = (np.sum(u * (x0[None, :, 3:6] - sat_vel), axis=-1)
+          + x0[None, :, 7] + 0.05 * rng.randn(T, B))[..., None]
+    R = np.atleast_2d(0.05**2)
+
+  structure = (sparsity.structure_for(spec, jnp.asarray(LocKalman.initial_x))
+               if use_structure else None)
+
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs))
+  easp = pallas_bank.pack_bank_measurements(jnp.asarray(eas))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+  r_mat = tuple(tuple(float(v) for v in row) for row in R)
+
+  xo, Po = pallas_bank.generic_bank_scan(
+      xp, Pp, zsp, jnp.asarray(dts), easp, spec=spec, kind=kind,
+      q_diag=q_diag, r_mat=r_mat, gate=om.maha_test, t_chunk=3, tile_b=8,
+      interpret=True, structure=structure)
+  xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  # sequential core/step oracle, per lane, real ea threaded
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for k in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, jnp.asarray(Q),
+                              jnp.asarray(dts[k]))
+      x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                jnp.asarray(zs[k, i]), jnp.asarray(R),
+                                jnp.asarray(eas[k, i]))
+    np.testing.assert_allclose(np.asarray(xu[i]), np.asarray(x),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Pu[:, :, i]), np.asarray(P),
+                               rtol=1e-6, atol=1e-8)
