@@ -263,6 +263,70 @@ def _kernel_ea(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
   p_out_ref[:] = P
 
 
+def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
+                  spec, kinds, t_chunk: int, q_diag, r_mats, gate: bool,
+                  structure, entry: bool, has_ea: bool):
+  """generic _kernel for a heterogeneous kind schedule: one shared predict
+  per step, then a lax.switch over per-kind updates (the same dispatch the
+  hand live kernel uses, pallas_live._mixed_kernel). z rows are padded to
+  the largest dz; ea rows (if any kind takes extra args) to the largest
+  ea_len — each branch slices its own leading rows."""
+  if has_ea:
+    eas_ref, x_out_ref, p_out_ref = rest
+  else:
+    eas_ref = None
+    x_out_ref, p_out_ref = rest
+
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    x_out_ref[:] = x_in_ref[:]
+    p_out_ref[:] = p_in_ref[:]
+
+  from rednose_tpu.ops.entry_slab import entry_update_slab
+
+  def _branch(i, k):
+    om = spec.obs[k]
+    dz, mea = om.dz, om.ea_len
+
+    def apply(x, P, z_full, ea_full):
+      z = z_full[:dz]
+      ea = ea_full[:mea] if mea else None
+      g = gate and om.maha_test
+      if entry:
+        x, P, _ = entry_update_slab(spec, k, {}, x, P, z, r_mats[i], g,
+                                    structure, ea=ea)
+      else:
+        x, P, _ = generic_update_slab(spec, k, {}, x, P, z, r_mats[i],
+                                      gate=g, structure=structure, ea=ea)
+      return x, P
+
+    return apply
+
+  branches = tuple(_branch(i, k) for i, k in enumerate(kinds))
+
+  def body(t, carry):
+    x, P = carry
+    dt = dts_ref[t, 0]
+    ki = kinds_ref[t, 0]
+    z = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])
+    if entry:
+      from rednose_tpu.ops.entry_slab import entry_predict_slab
+      x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+    else:
+      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+                                  structure=structure)
+    ea = (eas_ref[pl.ds(t, 1)].reshape(eas_ref.shape[1:])
+          if has_ea else x[:1] * 0.0)
+    x, P = jax.lax.switch(ki, branches, x, P, z, ea)
+    return (x, P)
+
+  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
+  x_out_ref[:] = x
+  p_out_ref[:] = P
+
+
 def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
                p_out_ref, *, spec, kind, t_chunk: int, q_diag, r_mat,
                gate: bool, structure):
@@ -350,6 +414,100 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(dts.reshape(T, 1), x_packed, P_packed, zs_packed, eas_packed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('spec', 'kinds', 'q_diag', 'r_mats', 'gate', 't_chunk',
+                     'tile_b', 'interpret', 'structure', 'entry'))
+def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
+                            eas_packed=None, *, spec, kinds, q_diag, r_mats,
+                            gate: bool = False, t_chunk: int = 128,
+                            tile_b: int = 1024, interpret: bool = False,
+                            structure=None, entry: bool = True):
+  """Heterogeneous-kind fused bank for ANY scatter-free spec: each step is
+  one shared predict plus a lax.switch-dispatched update of
+  kinds[kind_idx[t]], all VMEM-resident — the generic analog of the
+  hand-derived pallas_live.live_bank_scan_mixed, and the kernel-speed form
+  of ops/lane_bank.lane_mixed_bank_scan. The reference's real workload
+  shape (several observation kinds at sensor rate, ekf_sym.cc:158-184) for
+  an arbitrary user spec in ONE kernel.
+
+  Args vs generic_bank_scan:
+    kind_idx: (T,) int32 indices into `kinds` (streamed via SMEM).
+    kinds: static tuple of observation-kind ids of the schedule.
+    r_mats: static per-kind noise, tuple (aligned with kinds) of (dz, dz)
+      nested scalar tuples.
+    zs_packed rows are padded to max(dz); eas_packed rows (required iff
+    any kind takes extra args; other steps' rows are ignored) to
+    max(ea_len).
+  gate=True applies each kind's own maha_test flag (kinds without it are
+  never gated)."""
+  T = zs_packed.shape[0]
+  dx, de = spec.dim_x, spec.dim_err
+  kinds = tuple(int(k) for k in kinds)
+  max_dz = max(spec.obs[k].dz for k in kinds)
+  max_ea = max(spec.obs[k].ea_len for k in kinds)
+  bsub = x_packed.shape[-1]
+  B = SUBLANES * bsub
+  tile = tile_b // SUBLANES
+  assert x_packed.shape == (dx, SUBLANES, bsub), x_packed.shape
+  assert P_packed.shape == (de, de, SUBLANES, bsub), P_packed.shape
+  assert zs_packed.shape == (T, max_dz, SUBLANES, bsub), zs_packed.shape
+  assert kind_idx.shape == (T,), kind_idx.shape
+  assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
+  assert len(q_diag) == de and len(r_mats) == len(kinds)
+  assert (eas_packed is None) == (max_ea == 0), (
+      f"kinds {kinds} max ea_len={max_ea}: pass eas_packed iff some kind "
+      "takes extra args")
+  if eas_packed is not None:
+    assert eas_packed.shape == (T, max_ea, SUBLANES, bsub), eas_packed.shape
+  n_b, n_t = B // tile_b, T // t_chunk
+
+  kernel = functools.partial(
+      _mixed_kernel, spec=spec, kinds=kinds, t_chunk=t_chunk, q_diag=q_diag,
+      r_mats=r_mats, gate=gate, structure=structure,
+      entry=entry and structure is not None,
+      has_ea=eas_packed is not None)
+
+  in_specs = [
+      pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((t_chunk, max_dz, SUBLANES, tile),
+                   lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
+  ]
+  operands = [dts.reshape(T, 1), kind_idx.reshape(T, 1).astype(jnp.int32),
+              x_packed, P_packed, zs_packed]
+  if eas_packed is not None:
+    in_specs.append(
+        pl.BlockSpec((t_chunk, max_ea, SUBLANES, tile),
+                     lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM))
+    operands.append(eas_packed)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n_b, n_t),
+      in_specs=in_specs,
+      out_specs=(
+          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((dx, SUBLANES, bsub), x_packed.dtype),
+          jax.ShapeDtypeStruct((de, de, SUBLANES, bsub), P_packed.dtype),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(*operands)
 
 
 @functools.partial(

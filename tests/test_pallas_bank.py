@@ -31,10 +31,16 @@ def _ct_h(params, x, ea):
   return jnp.stack([x[0], x[1]])
 
 
+def _ct_speed_h(params, x, ea):
+  del params, ea
+  return x[2:3]
+
+
 def _ct_spec():
   return FilterSpec(
       name='const_turn', dim_x=4, dim_err=4, f=_ct_f,
-      obs={1: ObservationModel(kind=1, h=_ct_h, dz=2, maha_test=True)})
+      obs={1: ObservationModel(kind=1, h=_ct_h, dz=2, maha_test=True),
+           2: ObservationModel(kind=2, h=_ct_speed_h, dz=1)})
 
 
 def _run_oracle(spec, kind, x0, P0, Q, dts, zs, R, B, T):
@@ -163,3 +169,134 @@ def test_generic_kernel_pseudorange_ea(kind_name, use_structure):
                                rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Pu[:, :, i]), np.asarray(P),
                                rtol=1e-6, atol=1e-8)
+
+
+def _run_mixed_oracle(spec, kinds, kind_idx, x0, P0, Q, dts, zs, R_list,
+                      eas=None):
+  """Sequential core/step oracle for a heterogeneous kind schedule; zs and
+  eas rows are padded — slice each step's kind's own widths."""
+  B, T = x0.shape[0], len(kind_idx)
+  outs_x, outs_P = [], []
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for t in range(T):
+      k = kinds[kind_idx[t]]
+      om = spec.obs[k]
+      x, P = step_ops.predict(spec, {}, x, P, jnp.asarray(Q),
+                              jnp.asarray(dts[t]))
+      ea = (jnp.asarray(eas[t, i, :om.ea_len]) if om.ea_len
+            else jnp.zeros((1,)))
+      x, P, _ = step_ops.update(spec, k, {}, x, P,
+                                jnp.asarray(zs[t, i, :om.dz]),
+                                jnp.asarray(R_list[kind_idx[t]]), ea)
+    outs_x.append(np.asarray(x))
+    outs_P.append(np.asarray(P))
+  return np.stack(outs_x), np.stack(outs_P)
+
+
+@pytest.mark.parametrize("use_structure", [False, True])
+def test_generic_mixed_kernel_matches_oracle(use_structure):
+  """Heterogeneous kind schedule (dz 2 + dz 1, gated + ungated) through
+  generic_bank_scan_mixed vs the core/step oracle."""
+  from rednose_tpu.ops import sparsity
+
+  spec = _ct_spec()
+  kinds = (1, 2)
+  B, T = 16, 6
+  rng = np.random.RandomState(3)
+  x0 = np.column_stack([rng.randn(B), rng.randn(B),
+                        1.0 + 0.1 * rng.rand(B), 0.1 * rng.randn(B)])
+  P0 = np.tile(np.diag([1.0, 1.0, 0.5, 0.2]), (B, 1, 1))
+  Q = np.diag([0.01, 0.01, 0.1, 0.05])
+  dts = np.full((T,), 0.05)
+  kind_idx = np.array([0, 1, 0, 0, 1, 0], dtype=np.int32)
+
+  zs = np.zeros((T, B, 2))
+  for t in range(T):
+    if kind_idx[t] == 0:
+      zs[t] = x0[:, 0:2] + 0.3 * rng.randn(B, 2)
+      zs[t, ::5] += 1e3                      # outliers: exercise the gate
+    else:
+      zs[t, :, 0] = x0[:, 2] + 0.1 * rng.randn(B)
+  R_list = [np.diag([0.09, 0.09]), np.atleast_2d(0.01)]
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R)
+                 for R in R_list)
+
+  structure = (sparsity.structure_for(spec, jnp.asarray(x0[0]))
+               if use_structure else None)
+
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+
+  xo, Po = pallas_bank.generic_bank_scan_mixed(
+      xp, Pp, zsp, jnp.asarray(dts), jnp.asarray(kind_idx), spec=spec,
+      kinds=kinds, q_diag=q_diag, r_mats=r_mats, gate=True, t_chunk=3,
+      tile_b=8, interpret=True, structure=structure)
+  xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  x_ref, P_ref = _run_mixed_oracle(spec, kinds, kind_idx, x0, P0, Q, dts,
+                                   zs, R_list)
+  np.testing.assert_allclose(np.asarray(xu), x_ref, rtol=1e-7, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(Pu).transpose(2, 0, 1), P_ref,
+                             rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("use_structure", [False, True])
+def test_generic_mixed_kernel_pseudorange_schedule(use_structure):
+  """A real GNSS epoch schedule — interleaved pseudorange (ea 3) and
+  pseudorange-rate (ea 6) kinds — through generic_bank_scan_mixed's padded
+  ea stream, vs the core/step oracle."""
+  from rednose_tpu.models.live import ObservationKind as OK
+  from rednose_tpu.models.loc import LocKalman
+  from rednose_tpu.ops import sparsity
+
+  spec = LocKalman.build_spec()
+  kinds = (int(OK.PSEUDORANGE_GPS), int(OK.PSEUDORANGE_RATE_GPS))
+  B, T = 16, 6
+  rng = np.random.RandomState(11)
+
+  x0 = np.tile(LocKalman.initial_x, (B, 1)) + rng.randn(B, 11)
+  P0 = np.tile(np.eye(11) * 10.0, (B, 1, 1))
+  Q = np.asarray(LocKalman.Q)
+  dts = np.full((T,), 0.1)
+  kind_idx = np.array([0, 1, 0, 1, 0, 1], dtype=np.int32)
+
+  sat_pos = LocKalman.initial_x[:3][None, None] + 2.0e7 * rng.randn(T, B, 3)
+  sat_vel = 3e3 * rng.randn(T, B, 3)
+  eas = np.concatenate([sat_pos, sat_vel], axis=-1)  # padded to max ea 6
+  d = x0[None, :, :3] - sat_pos
+  u = d / np.linalg.norm(d, axis=-1, keepdims=True)
+  zs = np.zeros((T, B, 1))
+  for t in range(T):
+    if kind_idx[t] == 0:
+      zs[t, :, 0] = (np.linalg.norm(d[t], axis=-1) + x0[:, 6]
+                     + 2.0 * rng.randn(B))
+    else:
+      zs[t, :, 0] = (np.sum(u[t] * (x0[:, 3:6] - sat_vel[t]), axis=-1)
+                     + x0[:, 7] + 0.05 * rng.randn(B))
+  R_list = [np.atleast_2d(4.0), np.atleast_2d(0.05**2)]
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R)
+                 for R in R_list)
+
+  structure = (sparsity.structure_for(spec, jnp.asarray(LocKalman.initial_x))
+               if use_structure else None)
+
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs))
+  easp = pallas_bank.pack_bank_measurements(jnp.asarray(eas))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+
+  xo, Po = pallas_bank.generic_bank_scan_mixed(
+      xp, Pp, zsp, jnp.asarray(dts), jnp.asarray(kind_idx), easp, spec=spec,
+      kinds=kinds, q_diag=q_diag, r_mats=r_mats, gate=True, t_chunk=3,
+      tile_b=8, interpret=True, structure=structure)
+  xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  x_ref, P_ref = _run_mixed_oracle(spec, kinds, kind_idx, x0, P0, Q, dts,
+                                   zs, R_list, eas=eas)
+  np.testing.assert_allclose(np.asarray(xu), x_ref, rtol=1e-7, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(Pu).transpose(2, 0, 1), P_ref,
+                             rtol=1e-6, atol=1e-8)
