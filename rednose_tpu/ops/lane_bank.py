@@ -343,38 +343,6 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
   if R.ndim == 2:
     R = R[:, :, None]
 
-  if not om.is_feature and ea is not None:
-    # non-feature kinds with real extra args (the loc_kf pseudorange
-    # family: sat_pos threaded to h without nullspace projection,
-    # ekf_sym.py:84-89) — per-lane ea (B, ea_len), dense path only
-    assert structure is None, "extra-args kinds: dense lane path only"
-    h = jax.vmap(lambda xx, ee: om.h(params, xx, ee), out_axes=1)(x, ea)
-    H_raw = jax.vmap(lambda xx, ee: spec.H(kind, params, xx, ee),
-                     out_axes=2)(x, ea)
-    if spec.is_eskf:
-      Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx), out_axes=2)(x)
-      H = _matmul_ll(H_raw, Hm)
-    else:
-      H = H_raw
-    HP = jnp.swapaxes(_matmul_lt(P, H), 0, 1)
-    y = z.T - h
-    PHt = jnp.swapaxes(HP, 0, 1)
-    S = _matmul_ll(H, PHt) + R
-    Sinv = _inv_small(S)
-    K = _matmul_ll(PHt, Sinv)
-    if om.maha_test:
-      dist = sum(y[i] * Sinv[i, j] * y[j]
-                 for i in range(dz) for j in range(dz))
-      K = jnp.where(dist[None, None, :] > om.maha_thresh, 0.0, K)
-    dx = sum(K[:, i, :] * y[i][None, :] for i in range(dz))
-    I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)
-    P_new = _sym(_matmul_lt(_matmul_ll(I_KH, P), I_KH)
-                 + _matmul_lt(_matmul_ll(K, R), K))
-    x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
-    x_new = jax.vmap(
-        lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
-    return x_new, P_new, y.T
-
   assert ea is not None or om.ea_len == 0, (
       f"kind {kind} takes real extra args (ea_len={om.ea_len}); pass "
       "ea=(B, ea_len) — a zeros placeholder would silently evaluate h at "
@@ -425,12 +393,18 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
     return x_new, P_new, y.T
 
   if structure is None:
-    h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)  # (dz, B)
     # H (and the ESKF H.H_mod chain) lane-major: composing them per-filter
     # inside the vmap would emit batched small matmuls (the slow pattern
-    # this module exists to avoid)
-    H_raw = jax.vmap(lambda xx: spec.H(kind, params, xx, ea0),
-                     out_axes=2)(x)  # (dz, dim_x, B)
+    # this module exists to avoid). Non-feature extra-args kinds (the
+    # loc_kf pseudorange family, ekf_sym.py:84-89) thread per-lane ea.
+    if ea is not None:
+      h = jax.vmap(lambda xx, ee: om.h(params, xx, ee), out_axes=1)(x, ea)
+      H_raw = jax.vmap(lambda xx, ee: spec.H(kind, params, xx, ee),
+                       out_axes=2)(x, ea)  # (dz, dim_x, B)
+    else:
+      h = jax.vmap(lambda xx: om.h(params, xx, ea0), out_axes=1)(x)
+      H_raw = jax.vmap(lambda xx: spec.H(kind, params, xx, ea0),
+                       out_axes=2)(x)  # (dz, dim_x, B)
     if spec.is_eskf:
       Hm = jax.vmap(lambda xx: spec.H_mod_at(params, xx),
                     out_axes=2)(x)  # (dim_x, de, B)
@@ -440,9 +414,15 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
     HP = jnp.swapaxes(_matmul_lt(P, H), 0, 1)  # (dz, de, B)
   else:
     cols = structure.cols_for(kind)
-    h, h_cols = jax.vmap(
-        lambda xx: composed_h_jvp(spec, kind, params, xx, cols),
-        out_axes=1)(x)  # h (dz, B), cols each (dz, B)
+    if ea is not None:
+      h, h_cols = jax.vmap(
+          lambda xx, ee: composed_h_jvp(spec, kind, params, xx, cols,
+                                        ea=ee),
+          out_axes=1)(x, ea)  # h (dz, B), cols each (dz, B)
+    else:
+      h, h_cols = jax.vmap(
+          lambda xx: composed_h_jvp(spec, kind, params, xx, cols),
+          out_axes=1)(x)  # h (dz, B), cols each (dz, B)
     HP = sum(hc[:, None] * P[c][None] for c, hc in zip(cols, h_cols))
     S_hp = sum(HP[:, c][:, None] * hc[None] for c, hc in zip(cols, h_cols))
   y = z.T - h
@@ -507,26 +487,35 @@ def lane_augment(spec: FilterSpec, x, P):
 
 
 def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
-                   R, structure=None):
+                   R, structure=None, eas=None):
   """Scan T fused predict+update steps over the lane-major bank.
 
   Args: x (B, dim_x), P (dim_err, dim_err, B), dts (T,), zs (T, B, dz),
   R (dz, dz) shared across bank and time (per-step R variation belongs to the
-  generic path). Pass `structure` (ops/sparsity.detect_structure) to skip
-  structurally-zero Jacobian arithmetic. Returns (x, P) finals.
+  generic path). Non-feature extra-args kinds (the pseudorange family)
+  stream per-step per-lane satellite states as eas (T, B, ea_len). Pass
+  `structure` (ops/sparsity.detect_structure) to skip structurally-zero
+  Jacobian arithmetic. Returns (x, P) finals.
   """
   assert not spec.is_msckf, "lane bank does not support MSCKF block structure"
+  assert (eas is None) == (spec.obs[kind].ea_len == 0), (
+      f"kind {kind} ea_len={spec.obs[kind].ea_len}: pass eas iff the kind "
+      "takes extra args")
   Rl = jnp.asarray(R, dtype=x.dtype)
 
   def body(carry, inp):
     x, P = carry
-    dt, z = inp
+    dt, z, ea = inp
     x, P = lane_predict(spec, params, x, P, Q, dt, structure=structure)
     x, P, _ = lane_update(spec, kind, params, x, P, z, Rl,
-                          structure=structure)
+                          structure=structure, ea=ea)
     return (x, P), None
 
-  (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs))
+  if eas is None:
+    (x, P), _ = jax.lax.scan(lambda c, i: body(c, i + (None,)),
+                             (x, P), (dts, zs))
+  else:
+    (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs, eas))
   return x, P
 
 
@@ -537,7 +526,8 @@ def jit_lane_bank_scan(spec: FilterSpec, kind: int, structure=None):
 
 
 def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
-                         dts, kind_idx, zs, R_list, structure=None):
+                         dts, kind_idx, zs, R_list, structure=None,
+                         eas=None):
   """Heterogeneous sensor schedule over a lane-major bank for ANY spec:
   one fused predict + `lax.switch`-dispatched update per step — the
   generic analog of ops/live_lane.live_mixed_scan (which is live-only) and
@@ -547,19 +537,29 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
 
   Args: kinds static tuple; kind_idx (T,) int32 indices into it; zs
   (T, B, max_dz) rows padded to the largest dz; R_list per-kind (dz, dz)
-  noises aligned with `kinds` (traced — per-call values don't recompile).
+  noises aligned with `kinds` (traced — per-call values don't recompile);
+  eas (T, B, max_ea_len) rows padded to the largest ea_len (required iff
+  some kind takes extra args; other steps' rows are ignored).
   Returns final (x (B, dim_x), P (de, de, B)).
   """
   kinds = tuple(int(k) for k in kinds)
   max_dz = max(spec.obs[k].dz for k in kinds)
+  max_ea = max(spec.obs[k].ea_len for k in kinds)
   assert zs.shape[-1] == max_dz, (zs.shape, max_dz)
+  assert (eas is None) == (max_ea == 0), (
+      f"kinds {kinds} max ea_len={max_ea}: pass eas iff some kind takes "
+      "extra args")
+  if eas is not None:
+    assert eas.shape[-1] == max_ea, (eas.shape, max_ea)
 
   def _branch(i, k):
-    dz = spec.obs[k].dz
+    om = spec.obs[k]
+    dz, mea = om.dz, om.ea_len
 
-    def apply(xc, Pc, z, Rl):
+    def apply(xc, Pc, z, Rl, ea):
       xn, Pn, _ = lane_update(spec, k, params, xc, Pc, z[:, :dz], Rl[i],
-                              structure=structure)
+                              structure=structure,
+                              ea=ea[:, :mea] if mea else None)
       return xn, Pn
 
     return apply
@@ -568,21 +568,27 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
 
   def body(carry, inp):
     xc, Pc = carry
-    dt, ki, z = inp
+    dt, ki, z, ea = inp
     xc, Pc = lane_predict(spec, params, xc, Pc, Q, dt, structure=structure)
-    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z, R_list)
+    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z, R_list, ea)
     return (xc, Pc), None
 
-  (x, P), _ = jax.lax.scan(body, (x, P), (dts, kind_idx, zs))
+  if eas is None:
+    # (B, 1) placeholder: every branch's kind has ea_len 0 and ignores it
+    (x, P), _ = jax.lax.scan(lambda c, i: body(c, i + (c[0][:, :1] * 0.0,)),
+                             (x, P), (dts, kind_idx, zs))
+  else:
+    (x, P), _ = jax.lax.scan(body, (x, P), (dts, kind_idx, zs, eas))
   return x, P
 
 
 @functools.lru_cache(maxsize=None)
 def jit_lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple,
                              structure=None):
-  def fn(params, x, P, Q, dts, kind_idx, zs, R_list):
+  def fn(params, x, P, Q, dts, kind_idx, zs, R_list, eas=None):
     return lane_mixed_bank_scan(spec, kinds, params, x, P, Q, dts,
-                                kind_idx, zs, R_list, structure=structure)
+                                kind_idx, zs, R_list, structure=structure,
+                                eas=eas)
   return jax.jit(fn)
 
 

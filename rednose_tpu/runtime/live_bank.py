@@ -216,7 +216,10 @@ class LiveKalmanBank:
   # ------------------------------------------------------------------- runs
 
   def _tiles(self, T):
-    t_chunk = _largest_divisor(T, (128, 64, 32, 16, 8, 4, 2))
+    # t_chunk >= 8: the kernel's SMEM dts stream block shape must be
+    # divisible by 8 (Mosaic block-shape rule); run()/run_mixed() route
+    # T % 8 != 0 to the lane path
+    t_chunk = _largest_divisor(T, (128, 64, 32, 16, 8))
     tile_b = _largest_divisor(self.batch, (1024, 512, 256, 128, 64, 32, 16, 8))
     return t_chunk, tile_b
 
@@ -230,7 +233,7 @@ class LiveKalmanBank:
     T = dts.shape[0]
     if T == 0:  # no measurements this tick: clean no-op on every path
       return self
-    if self.use_pallas:
+    if self.use_pallas and T % 8 == 0:
       t_chunk, tile_b = self._tiles(T)
       xp, Pp = pallas_live.pack_live_state(self._x, self._P)
       zsp = pallas_live.pack_measurements(jnp.asarray(zs, self.dtype))
@@ -282,7 +285,7 @@ class LiveKalmanBank:
     if T == 0:
       return self
     rsj = None if r_stream is None else jnp.asarray(r_stream, self.dtype)
-    if self.use_pallas:
+    if self.use_pallas and T % 8 == 0:
       t_chunk, tile_b = self._tiles(T)
       xp, Pp = pallas_live.pack_live_state(self._x, self._P)
       zsp = pallas_live.pack_measurements(jnp.asarray(zs, self.dtype))
