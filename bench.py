@@ -157,7 +157,9 @@ def bench_generic(path=None):
   the round-2 'automatic minimal kernels for any model' gap, closed.
   BENCH_GENERIC_PATH=dense runs the dense jacfwd body instead (small
   specs only); default 'sparse' uses the detected structure with the
-  entry-level body."""
+  entry-level body; 'mixed' runs the heterogeneous 4-kind sensor
+  schedule (gyro/accel/cam-rot/pos) through generic_bank_scan_mixed —
+  the hand live mixed kernel's workload with zero model-specific code."""
   import jax
   import jax.numpy as jnp
 
@@ -173,7 +175,7 @@ def bench_generic(path=None):
   chain_n = int(os.environ.get("BENCH_CHAIN", 4))
   spec = LiveKalman.build_spec()
   structure = (sparsity.detect_structure(spec, LiveKalman.initial_x)
-               if path == "sparse" else None)
+               if path in ("sparse", "mixed") else None)
   if structure is not None:
     log(f"detected structure: F nnz {structure.f_nnz}/{spec.dim_err**2}, "
         f"pos-H cols {structure.cols_for(K.ECEF_POS)}")
@@ -188,16 +190,40 @@ def bench_generic(path=None):
   r_mat = tuple(tuple(float(v) for v in row) for row in np.diag([25.0] * 3))
   xp, Pp = pallas_bank.pack_bank(
       jnp.asarray(x0, dtype), jnp.asarray(P0.transpose(1, 2, 0), dtype))
-  zsp = pallas_bank.pack_bank_measurements(zs)
 
-  @jax.jit
-  def chain(xp, Pp, zsp):
-    for _ in range(chain_n):
-      xp, Pp = pallas_bank.generic_bank_scan(
-          xp, Pp, zsp, dts, spec=spec, kind=K.ECEF_POS, q_diag=q_diag,
-          r_mat=r_mat, gate=True, t_chunk=t_chunk, tile_b=tile_b,
-          structure=structure)
-    return jnp.sum(xp) + jnp.sum(Pp)
+  if path == "mixed":
+    # the hand mixed kernel's schedule (bench_live_bank path='mixed'),
+    # through the automatic entry-level mixed kernel
+    kinds = (int(K.PHONE_GYRO), int(K.PHONE_ACCEL),
+             int(K.CAMERA_ODO_ROTATION), int(K.ECEF_POS))
+    r_mats = tuple(tuple(tuple(float(v) for v in row)
+                         for row in LiveKalman.obs_noise[k]) for k in kinds)
+    kind_idx = jnp.asarray(np.arange(T) % len(kinds), jnp.int32)
+    pos_rows = jnp.asarray((np.arange(T) % len(kinds)) == 3)
+    zs = jnp.where(pos_rows[:, None, None], zs,
+                   0.05 * jax.random.normal(jax.random.key(1), (T, B, 3),
+                                            dtype=dtype))
+    zsp = pallas_bank.pack_bank_measurements(zs)
+
+    @jax.jit
+    def chain(xp, Pp, zsp):
+      for _ in range(chain_n):
+        xp, Pp = pallas_bank.generic_bank_scan_mixed(
+            xp, Pp, zsp, dts, kind_idx, spec=spec, kinds=kinds,
+            q_diag=q_diag, r_mats=r_mats, t_chunk=t_chunk, tile_b=tile_b,
+            structure=structure)
+      return jnp.sum(xp) + jnp.sum(Pp)
+  else:
+    zsp = pallas_bank.pack_bank_measurements(zs)
+
+    @jax.jit
+    def chain(xp, Pp, zsp):
+      for _ in range(chain_n):
+        xp, Pp = pallas_bank.generic_bank_scan(
+            xp, Pp, zsp, dts, spec=spec, kind=K.ECEF_POS, q_diag=q_diag,
+            r_mat=r_mat, gate=True, t_chunk=t_chunk, tile_b=tile_b,
+            structure=structure)
+      return jnp.sum(xp) + jnp.sum(Pp)
 
   log(f"compiling generic {path} kernel (entry-level body of the "
       f"{spec.dim_err}-dim live spec: first compile is minutes-scale)...")
@@ -467,6 +493,7 @@ def main():
       ("rts", bench_rts),
       ("vo_lane", lambda: bench_vo(path="lane")),
       ("generic_entry", lambda: bench_generic(path="sparse")),
+      ("generic_mixed", lambda: bench_generic(path="mixed")),
   )
   skip = set(os.environ.get("BENCH_SKIP", "").split(",")) - {""}
   for name, fn in sweep:
