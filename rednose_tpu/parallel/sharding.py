@@ -160,33 +160,78 @@ def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
 
 
 def sharded_generic_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed,
-                              dts, *, spec, kind, q_diag, r_mat,
-                              structure=None, gate: bool = False,
+                              dts, eas_packed=None, *, spec, kind, q_diag,
+                              r_mat, structure=None, gate: bool = False,
                               t_chunk: int = 128, tile_b: int = 1024,
                               interpret: bool = False, entry: bool = True):
   """Entry-level generic kernel (ops/pallas_bank.py + ops/entry_slab.py)
   sharded over the mesh — the scale-out story for the automatic path:
   ANY spec, no hand derivation, one VMEM-resident kernel per chip shard,
   zero collectives. Same packed layout and divisibility rules as
-  sharded_live_bank_scan."""
+  sharded_live_bank_scan; extra-args kinds shard their eas_packed stream
+  on the same sub-bank axis."""
   from rednose_tpu.ops import pallas_bank
 
   n = mesh.devices.size
   assert x_packed.shape[-1] % n == 0, (x_packed.shape, n)
 
-  def local(xp, Pp, zsp, dts_):
+  def local(xp, Pp, zsp, dts_, *easp):
     return pallas_bank.generic_bank_scan(
-        xp, Pp, zsp, dts_, spec=spec, kind=kind, q_diag=q_diag,
-        r_mat=r_mat, gate=gate, t_chunk=t_chunk, tile_b=tile_b,
-        interpret=interpret, structure=structure, entry=entry)
+        xp, Pp, zsp, dts_, easp[0] if easp else None, spec=spec, kind=kind,
+        q_diag=q_diag, r_mat=r_mat, gate=gate, t_chunk=t_chunk,
+        tile_b=tile_b, interpret=interpret, structure=structure,
+        entry=entry)
 
+  in_specs = [P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
+              P(None, None, None, BANK_AXIS), P()]
+  operands = [x_packed, P_packed, zs_packed, dts]
+  if eas_packed is not None:
+    in_specs.append(P(None, None, None, BANK_AXIS))
+    operands.append(eas_packed)
   return jax.shard_map(
       local, mesh=mesh,
-      in_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
-                P(None, None, None, BANK_AXIS), P()),
+      in_specs=tuple(in_specs),
       out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
       check_vma=False,
-  )(x_packed, P_packed, zs_packed, dts)
+  )(*operands)
+
+
+def sharded_generic_bank_scan_mixed(mesh: Mesh, x_packed, P_packed,
+                                    zs_packed, dts, kind_idx,
+                                    eas_packed=None, *, spec, kinds,
+                                    q_diag, r_mats, structure=None,
+                                    gate: bool = False, t_chunk: int = 128,
+                                    tile_b: int = 1024,
+                                    interpret: bool = False,
+                                    entry: bool = True):
+  """Heterogeneous-kind generic kernel (generic_bank_scan_mixed) sharded
+  over the mesh: the kind schedule (SMEM stream) is replicated, the bank
+  shards — every chip dispatches the same per-step lax.switch on its own
+  sub-bank. Zero collectives."""
+  from rednose_tpu.ops import pallas_bank
+
+  n = mesh.devices.size
+  assert x_packed.shape[-1] % n == 0, (x_packed.shape, n)
+
+  def local(xp, Pp, zsp, dts_, ki, *easp):
+    return pallas_bank.generic_bank_scan_mixed(
+        xp, Pp, zsp, dts_, ki, easp[0] if easp else None, spec=spec,
+        kinds=kinds, q_diag=q_diag, r_mats=r_mats, gate=gate,
+        t_chunk=t_chunk, tile_b=tile_b, interpret=interpret,
+        structure=structure, entry=entry)
+
+  in_specs = [P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
+              P(None, None, None, BANK_AXIS), P(), P()]
+  operands = [x_packed, P_packed, zs_packed, dts, kind_idx]
+  if eas_packed is not None:
+    in_specs.append(P(None, None, None, BANK_AXIS))
+    operands.append(eas_packed)
+  return jax.shard_map(
+      local, mesh=mesh,
+      in_specs=tuple(in_specs),
+      out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
+      check_vma=False,
+  )(*operands)
 
 
 # ------------------------------------------------------- multi-slice (DCN)

@@ -132,6 +132,54 @@ def test_sharded_fused_live_kernel_matches_unsharded():
   np.testing.assert_array_equal(np.asarray(Pu), np.asarray(P_ref))
 
 
+def test_sharded_mixed_generic_kernel_matches_unsharded():
+  """The heterogeneous-kind generic kernel under shard_map (replicated
+  SMEM kind stream, sharded bank, interpret mode) must equal the unsharded
+  generic mixed kernel bitwise."""
+  import jax.numpy as jnp
+  import numpy as np
+
+  from rednose_tpu.models.live import LiveKalman, ObservationKind as K
+  from rednose_tpu.ops import pallas_bank, sparsity
+  from rednose_tpu.parallel import sharding as shard_ops
+
+  mesh = shard_ops.make_bank_mesh()
+  spec = LiveKalman.build_spec()
+  structure = sparsity.structure_for(spec, LiveKalman.initial_x)
+  B, T = 64, 4
+  dtype = jnp.float32
+  x = jnp.tile(jnp.asarray(LiveKalman.initial_x, dtype), (B, 1))
+  P = jnp.tile(jnp.asarray(np.diag(LiveKalman.initial_P_diag),
+                           dtype)[:, :, None], (1, 1, B))
+  dts = jnp.full((T,), 0.01, dtype)
+  kinds = (int(K.PHONE_GYRO), int(K.ECEF_POS))
+  kind_idx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+  rng = np.random.RandomState(0)
+  zs = jnp.where(
+      (kind_idx == 1)[:, None, None],
+      jnp.asarray(LiveKalman.initial_x[0:3], dtype)
+      + jnp.asarray(rng.randn(T, B, 3), dtype),
+      jnp.asarray(0.01 * rng.randn(T, B, 3), dtype))
+  q_diag = tuple(float(v) for v in np.diag(LiveKalman.Q))
+  r_mats = tuple(tuple(tuple(float(v) for v in row)
+                       for row in LiveKalman.obs_noise[k]) for k in kinds)
+
+  xp, Pp = pallas_bank.pack_bank(x, P)
+  zsp = pallas_bank.pack_bank_measurements(zs)
+  xo, Po = shard_ops.sharded_generic_bank_scan_mixed(
+      mesh, xp, Pp, zsp, dts, kind_idx, spec=spec, kinds=kinds,
+      q_diag=q_diag, r_mats=r_mats, structure=structure, t_chunk=4,
+      tile_b=8, interpret=True)
+  assert len(xo.sharding.device_set) == mesh.devices.size
+
+  x_ref, P_ref = pallas_bank.generic_bank_scan_mixed(
+      xp, Pp, zsp, dts, kind_idx, spec=spec, kinds=kinds, q_diag=q_diag,
+      r_mats=r_mats, structure=structure, t_chunk=4, tile_b=8,
+      interpret=True)
+  np.testing.assert_array_equal(np.asarray(xo), np.asarray(x_ref))
+  np.testing.assert_array_equal(np.asarray(Po), np.asarray(P_ref))
+
+
 def test_multislice_hierarchical_rmse():
   """2-D (slice, bank) mesh: sharded run + hierarchically-staged psum
   (ICI within the slice, one scalar over DCN) matches the flat-mesh and
