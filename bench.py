@@ -151,6 +151,69 @@ def bench_live_bank(path=None):
   }
 
 
+def bench_generic_epoch_gnss(B, T, tile_b, chain_n):
+  """GNSS epoch kernel: LocKalman (11-dim receiver), 4 pseudoranges + 4
+  pseudorange rates per step through generic_bank_scan_epoch's entry
+  body. One F P F^T per epoch; per-slot maha gates. Value: updates/s."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.live import ObservationKind as OK
+  from rednose_tpu.models.loc import LocKalman
+  from rednose_tpu.ops import pallas_bank, sparsity
+
+  dtype = jnp.float32
+  slot_kinds = (int(OK.PSEUDORANGE_GPS),) * 4 \
+      + (int(OK.PSEUDORANGE_RATE_GPS),) * 4
+  Ksl = len(slot_kinds)
+  spec = LocKalman.build_spec()
+  structure = sparsity.structure_for(spec, jnp.asarray(LocKalman.initial_x))
+  q_diag = tuple(float(v) for v in np.diag(LocKalman.Q))
+  r_mats = tuple(
+      tuple(tuple(float(v) for v in row)
+            for row in np.atleast_2d(LocKalman.obs_noise[k]))
+      for k in slot_kinds)
+  x0 = np.tile(LocKalman.initial_x, (B, 1))
+  P0 = np.tile(np.diag(LocKalman.initial_P_diag), (B, 1, 1))
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0, dtype), jnp.asarray(P0.transpose(1, 2, 0), dtype))
+  key = jax.random.key(0)
+  # per-lane satellite states: pos ~2e7 m shells, vel ~3 km/s
+  sat_pos = LocKalman.initial_x[:3] + \
+      2.0e7 * jax.random.normal(key, (T, Ksl, B, 3), dtype=dtype)
+  sat_vel = 3e3 * jax.random.normal(jax.random.key(1), (T, Ksl, B, 3),
+                                    dtype=dtype)
+  eas = jnp.concatenate([sat_pos, sat_vel], axis=-1)
+  rng_shell = jnp.linalg.norm(sat_pos - LocKalman.initial_x[:3], axis=-1)
+  is_rho = (jnp.arange(Ksl) < 4)[None, :, None]
+  zs = jnp.where(is_rho, rng_shell, 0.0)[..., None].astype(dtype)
+  dts = jnp.full((T,), 0.1, dtype=dtype)
+  zsp = pallas_bank.pack_bank_epochs(zs)
+  easp = pallas_bank.pack_bank_epochs(eas)
+
+  @jax.jit
+  def chain(xp, Pp, zsp, easp):
+    for _ in range(chain_n):
+      xp, Pp = pallas_bank.generic_bank_scan_epoch(
+          xp, Pp, zsp, dts, easp, spec=spec, slot_kinds=slot_kinds,
+          q_diag=q_diag, r_mats=r_mats, t_chunk=32, tile_b=tile_b,
+          structure=structure)
+    return jnp.sum(xp) + jnp.sum(Pp)
+
+  log(f"compiling GNSS epoch kernel (1 predict + {Ksl} updates/step)...")
+  best = _time_chain(chain, (xp, Pp, zsp, easp))
+  upd_per_sec = (B * T * Ksl * chain_n) / best
+  log(f"GNSS epoch bank B={B}: best {best*1e3:.2f} ms for {chain_n} "
+      f"chained scans -> {upd_per_sec/1e6:.2f}M updates/s "
+      f"({upd_per_sec/Ksl/1e6:.2f}M epochs/s)")
+  return {
+      "metric": "gnss_epoch_kernel_update_throughput",
+      "value": round(upd_per_sec, 1),
+      "unit": "updates/sec/chip",
+      "vs_baseline": round(upd_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }
+
+
 def bench_generic(path=None):
   """Entry-level generic VMEM-resident kernel (ops/pallas_bank.py +
   ops/entry_slab.py) on the UNMODIFIED live spec — no hand-derivation:
@@ -159,7 +222,11 @@ def bench_generic(path=None):
   specs only); default 'sparse' uses the detected structure with the
   entry-level body; 'mixed' runs the heterogeneous 4-kind sensor
   schedule (gyro/accel/cam-rot/pos) through generic_bank_scan_mixed —
-  the hand live mixed kernel's workload with zero model-specific code."""
+  the hand live mixed kernel's workload with zero model-specific code;
+  'epoch' runs the canonical GNSS receiver epoch (LocKalman: one predict
+  + 4 pseudoranges + 4 rates per tick, the reference's
+  predict_and_update_batch shape, ekf_sym.py:484-531) through
+  generic_bank_scan_epoch; value is measurement updates/s."""
   import jax
   import jax.numpy as jnp
 
@@ -190,6 +257,16 @@ def bench_generic(path=None):
   r_mat = tuple(tuple(float(v) for v in row) for row in np.diag([25.0] * 3))
   xp, Pp = pallas_bank.pack_bank(
       jnp.asarray(x0, dtype), jnp.asarray(P0.transpose(1, 2, 0), dtype))
+
+  if path == "epoch":
+    # the canonical GNSS receiver epoch: ONE predict + 8 statically-
+    # unrolled measurement updates per tick (4 pseudoranges + 4 rates,
+    # per-lane satellite states streamed from HBM) — the reference's
+    # predict_and_update_batch shape (ekf_sym.py:484-531) at kernel
+    # speed. NOTE: kernel body scales with the number of DISTINCT slot
+    # kinds x per-kind body size; live-complexity specs with many
+    # distinct kinds exceed the Mosaic op ceiling — use run_mixed there.
+    return bench_generic_epoch_gnss(B, T, tile_b, chain_n)
 
   if path == "mixed":
     # the hand mixed kernel's schedule (bench_live_bank path='mixed'),
@@ -494,6 +571,7 @@ def main():
       ("vo_lane", lambda: bench_vo(path="lane")),
       ("generic_entry", lambda: bench_generic(path="sparse")),
       ("generic_mixed", lambda: bench_generic(path="mixed")),
+      ("generic_epoch", lambda: bench_generic(path="epoch")),
   )
   skip = set(os.environ.get("BENCH_SKIP", "").split(",")) - {""}
   for name, fn in sweep:

@@ -582,6 +582,55 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
   return x, P
 
 
+def lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple, params, x, P,
+                         Q, dts, zs, R_list, structure=None, eas=None):
+  """T EPOCHS over a lane-major bank: one predict then K statically-
+  unrolled updates per step — the reference's predict_and_update_batch
+  shape (predict once at t, then every measurement of the epoch,
+  ekf_sym.py:484-531) as a bank scan; the jnp twin of
+  ops/pallas_bank.generic_bank_scan_epoch.
+
+  Args: slot_kinds static tuple of K kind ids (repeat a kind for several
+  same-kind measurements); zs (T, K, B, max_dz) rows padded to the largest
+  dz; R_list per-slot (dz, dz) noises; eas (T, K, B, max_ea_len) iff some
+  slot kind takes extra args. Returns final (x (B, dim_x), P (de, de, B)).
+  """
+  slot_kinds = tuple(int(k) for k in slot_kinds)
+  max_dz = max(spec.obs[k].dz for k in slot_kinds)
+  max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
+  assert zs.shape[1] == len(slot_kinds) and zs.shape[-1] == max_dz, zs.shape
+  assert (eas is None) == (max_ea == 0)
+
+  def body(carry, inp):
+    xc, Pc = carry
+    dt, z_t, ea_t = inp
+    xc, Pc = lane_predict(spec, params, xc, Pc, Q, dt, structure=structure)
+    for k, kind in enumerate(slot_kinds):
+      om = spec.obs[kind]
+      ea_k = ea_t[k][:, :om.ea_len] if om.ea_len else None
+      xc, Pc, _ = lane_update(spec, kind, params, xc, Pc,
+                              z_t[k][:, :om.dz], R_list[k],
+                              structure=structure, ea=ea_k)
+    return (xc, Pc), None
+
+  if eas is None:
+    (x, P), _ = jax.lax.scan(
+        lambda c, i: body(c, i + (i[1][:, :, :1] * 0.0,)),
+        (x, P), (dts, zs))
+  else:
+    (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs, eas))
+  return x, P
+
+
+@functools.lru_cache(maxsize=None)
+def jit_lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple,
+                             structure=None):
+  def fn(params, x, P, Q, dts, zs, R_list, eas=None):
+    return lane_epoch_bank_scan(spec, slot_kinds, params, x, P, Q, dts,
+                                zs, R_list, structure=structure, eas=eas)
+  return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=None)
 def jit_lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple,
                              structure=None):

@@ -327,6 +327,59 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
   p_out_ref[:] = P
 
 
+def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
+                  slot_kinds, t_chunk: int, q_diag, r_mats, gate: bool,
+                  structure, entry: bool, has_ea: bool):
+  """Epoch-batched step: ONE predict then K statically-unrolled updates
+  per time step — the reference's predict_and_update_batch shape
+  (ekf_sym.py:484-531: predict once at t, then every measurement of the
+  epoch) as a kernel body. slot_kinds is static, so there is no dispatch
+  at all; a GNSS epoch (7 pseudoranges + 7 rates) is one fused body."""
+  if has_ea:
+    eas_ref, x_out_ref, p_out_ref = rest
+  else:
+    eas_ref = None
+    x_out_ref, p_out_ref = rest
+
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _():
+    x_out_ref[:] = x_in_ref[:]
+    p_out_ref[:] = p_in_ref[:]
+
+  from rednose_tpu.ops.entry_slab import entry_predict_slab, \
+      entry_update_slab
+
+  def body(t, carry):
+    x, P = carry
+    dt = dts_ref[t, 0]
+    z_t = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])    # (K, max_dz, *b)
+    ea_t = (eas_ref[pl.ds(t, 1)].reshape(eas_ref.shape[1:])
+            if has_ea else None)
+    if entry:
+      x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+    else:
+      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+                                  structure=structure)
+    for k, kind in enumerate(slot_kinds):
+      om = spec.obs[kind]
+      z = z_t[k, :om.dz]
+      ea = ea_t[k, :om.ea_len] if om.ea_len else None
+      g = gate and om.maha_test
+      if entry:
+        x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mats[k], g,
+                                    structure, ea=ea)
+      else:
+        x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mats[k],
+                                      gate=g, structure=structure, ea=ea)
+    return (x, P)
+
+  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
+  x_out_ref[:] = x
+  p_out_ref[:] = P
+
+
 def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
                p_out_ref, *, spec, kind, t_chunk: int, q_diag, r_mat,
                gate: bool, structure):
@@ -414,6 +467,103 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(dts.reshape(T, 1), x_packed, P_packed, zs_packed, eas_packed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('spec', 'slot_kinds', 'q_diag', 'r_mats', 'gate',
+                     't_chunk', 'tile_b', 'interpret', 'structure', 'entry'))
+def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
+                            eas_packed=None, *, spec, slot_kinds, q_diag,
+                            r_mats, gate: bool = True, t_chunk: int = 32,
+                            tile_b: int = 1024, interpret: bool = False,
+                            structure=None, entry: bool = True):
+  """T EPOCHS, each one predict + K statically-unrolled updates — the
+  reference's predict_and_update_batch semantics (predict once at t, then
+  every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
+  The canonical GNSS shape: slot_kinds = 7x(PSEUDORANGE,) + 7x(RATE,) runs
+  a full receiver epoch per step with zero dispatch overhead and one
+  F P F^T instead of fourteen.
+
+  Args vs generic_bank_scan:
+    slot_kinds: static tuple of K observation-kind ids (the epoch layout;
+      repeat a kind for several same-kind measurements).
+    zs_packed: (T, K, max_dz, 8, B/8) — pack with pack_bank_epochs.
+    eas_packed: (T, K, max_ea_len, 8, B/8) (required iff some slot kind
+      takes extra args).
+    r_mats: per-slot static noise, tuple of (dz, dz) nested tuples.
+  gate=True (default) applies each kind's own maha_test flag per slot —
+  one bad satellite is rejected without touching the rest of the epoch."""
+  T = zs_packed.shape[0]
+  dx, de = spec.dim_x, spec.dim_err
+  slot_kinds = tuple(int(k) for k in slot_kinds)
+  K = len(slot_kinds)
+  max_dz = max(spec.obs[k].dz for k in slot_kinds)
+  max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
+  bsub = x_packed.shape[-1]
+  B = SUBLANES * bsub
+  tile = tile_b // SUBLANES
+  assert x_packed.shape == (dx, SUBLANES, bsub), x_packed.shape
+  assert P_packed.shape == (de, de, SUBLANES, bsub), P_packed.shape
+  assert zs_packed.shape == (T, K, max_dz, SUBLANES, bsub), zs_packed.shape
+  assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
+  assert len(q_diag) == de and len(r_mats) == K
+  assert (eas_packed is None) == (max_ea == 0), (
+      f"slot_kinds {slot_kinds} max ea_len={max_ea}: pass eas_packed iff "
+      "some kind takes extra args")
+  if eas_packed is not None:
+    assert eas_packed.shape == (T, K, max_ea, SUBLANES, bsub), \
+        eas_packed.shape
+  n_b, n_t = B // tile_b, T // t_chunk
+
+  kernel = functools.partial(
+      _epoch_kernel, spec=spec, slot_kinds=slot_kinds, t_chunk=t_chunk,
+      q_diag=q_diag, r_mats=r_mats, gate=gate, structure=structure,
+      entry=entry and structure is not None,
+      has_ea=eas_packed is not None)
+
+  in_specs = [
+      pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
+                   memory_space=pltpu.SMEM),
+      pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((t_chunk, K, max_dz, SUBLANES, tile),
+                   lambda i, j: (j, 0, 0, 0, i), memory_space=pltpu.VMEM),
+  ]
+  operands = [dts.reshape(T, 1), x_packed, P_packed, zs_packed]
+  if eas_packed is not None:
+    in_specs.append(
+        pl.BlockSpec((t_chunk, K, max_ea, SUBLANES, tile),
+                     lambda i, j: (j, 0, 0, 0, i),
+                     memory_space=pltpu.VMEM))
+    operands.append(eas_packed)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n_b, n_t),
+      in_specs=in_specs,
+      out_specs=(
+          pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM),
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((dx, SUBLANES, bsub), x_packed.dtype),
+          jax.ShapeDtypeStruct((de, de, SUBLANES, bsub), P_packed.dtype),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(*operands)
+
+
+def pack_bank_epochs(zs):
+  """(T, K, B, d) epoch measurements -> (T, K, d, 8, B/8) slab layout."""
+  T, K, B, d = zs.shape
+  return jnp.swapaxes(zs, 2, 3).reshape(T, K, d, SUBLANES, B // SUBLANES)
 
 
 @functools.partial(

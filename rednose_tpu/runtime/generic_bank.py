@@ -305,6 +305,58 @@ class KalmanBank:
     self._ring.clear()  # bulk runs are not observation-addressable
     return self
 
+  def run_epochs(self, dts, zs, slot_kinds: Sequence[int], R_by_slot=None,
+                 eas=None):
+    """T epochs, each one predict + K updates (the reference's
+    predict_and_update_batch semantics at bank-kernel speed): slot_kinds
+    is the static epoch layout (repeat a kind for several same-kind
+    measurements — e.g. 7 pseudoranges + 7 rates), zs (T, K, B, max_dz)
+    rows padded to the largest dz, eas (T, K, B, max_ea_len) iff some
+    slot kind takes extra args. Per-slot R defaults to its kind's
+    obs_noise.
+
+    Kernel-size note: the Pallas body unrolls one update per slot, so it
+    scales with the number of DISTINCT slot kinds x per-kind body size.
+    GNSS-class specs (LocKalman: 8+ slots) compile in seconds; a
+    live-complexity spec with 4 distinct kinds exceeds the Mosaic op
+    ceiling (remote compile OOM) — use run_mixed there, or
+    use_pallas=False for the lane path."""
+    slot_kinds = tuple(int(k) for k in slot_kinds)
+    max_ea = max(self.spec.obs[k].ea_len for k in slot_kinds)
+    dts = np.asarray(dts, np.float64)
+    T = dts.shape[0]
+    if T == 0:
+      return self
+    if R_by_slot is None:
+      R_by_slot = [self._default_R(k) for k in slot_kinds]
+    assert len(R_by_slot) == len(slot_kinds)
+    assert (eas is None) == (max_ea == 0)
+    if self.use_pallas and T % 8 == 0:
+      t_chunk = _largest_divisor(T, (32, 16, 8))
+      _, tile_b = self._tiles(T)
+      xp, Pp = pallas_bank.pack_bank(self._x, self._P)
+      zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs, self.dtype))
+      easp = (pallas_bank.pack_bank_epochs(jnp.asarray(eas, self.dtype))
+              if eas is not None else None)
+      r_mats = tuple(tuple(tuple(float(v) for v in row)
+                           for row in np.asarray(R)) for R in R_by_slot)
+      xp, Pp = pallas_bank.generic_bank_scan_epoch(
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
+          slot_kinds=slot_kinds, q_diag=self._q_diag, r_mats=r_mats,
+          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure)
+      self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
+    else:
+      fn = lane_bank.jit_lane_epoch_bank_scan(self.spec, slot_kinds,
+                                              self.structure)
+      R_list = tuple(jnp.asarray(R, self.dtype) for R in R_by_slot)
+      self._x, self._P = fn(
+          {}, self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+          jnp.asarray(zs, self.dtype), R_list,
+          eas=None if eas is None else jnp.asarray(eas, self.dtype))
+    self.t += float(dts.sum())
+    self._ring.clear()  # bulk runs are not observation-addressable
+    return self
+
   def run_mixed(self, dts, kind_idx, zs, kinds: Sequence[int],
                 R_by_kind=None, eas=None):
     """T steps of a heterogeneous sensor schedule: kinds is the static kind

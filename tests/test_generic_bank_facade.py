@@ -88,6 +88,70 @@ def test_run_mixed_with_eas_matches_oracle_loc():
                              atol=1e-8)
 
 
+def test_run_epochs_no_ea_single_slot_equals_run():
+  """A 1-slot epoch with no extra args is exactly predict+update per step,
+  i.e. run(); covers the lane epoch scan's ea-free branch."""
+  B, T = 8, 8
+  rng = np.random.RandomState(3)
+  dts = np.full((T,), 0.01)
+  zs = 0.5 * rng.randn(T, B, 1)
+  a = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  a.run(dts, zs, KK.POSITION)
+  b = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  b.run_epochs(dts, zs[:, None], (int(KK.POSITION),))
+  np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x),
+                             rtol=1e-12, atol=1e-14)
+  np.testing.assert_allclose(np.asarray(a.P), np.asarray(b.P),
+                             rtol=1e-12, atol=1e-14)
+
+
+def test_run_epochs_matches_oracle_loc():
+  """run_epochs (one predict + K slot updates per step — the reference's
+  predict_and_update_batch shape, ekf_sym.py:484-531) on a GNSS epoch of
+  2 pseudoranges + 2 rates, lane path vs the core/step oracle."""
+  B, T = 8, 5
+  rng = np.random.RandomState(7)
+  slot_kinds = (int(OK.PSEUDORANGE_GPS),) * 2 \
+      + (int(OK.PSEUDORANGE_RATE_GPS),) * 2
+  K = len(slot_kinds)
+  spec = LocKalman.build_spec()
+  x0 = np.tile(LocKalman.initial_x, (B, 1)) + rng.randn(B, 11)
+  bank = KalmanBank(LocKalman, batch=B, x0=x0, dtype=jnp.float64)
+  assert not bank.use_pallas  # CPU: lane path
+  dts = np.full((T,), 0.1)
+  sat_pos = LocKalman.initial_x[:3][None, None, None] \
+      + 2.0e7 * rng.randn(T, K, B, 3)
+  sat_vel = 3e3 * rng.randn(T, K, B, 3)
+  eas = np.concatenate([sat_pos, sat_vel], axis=-1)
+  d = x0[None, None, :, :3] - sat_pos
+  u = d / np.linalg.norm(d, axis=-1, keepdims=True)
+  rho = np.linalg.norm(d, axis=-1) + x0[None, None, :, 6] \
+      + 2.0 * rng.randn(T, K, B)
+  rate = np.sum(u * (x0[None, None, :, 3:6] - sat_vel), axis=-1) \
+      + x0[None, None, :, 7] + 0.05 * rng.randn(T, K, B)
+  zs = np.where((np.arange(K) < 2)[None, :, None], rho, rate)[..., None]
+  bank.run_epochs(dts, zs, slot_kinds, eas=eas)
+
+  R_list = [np.atleast_2d(LocKalman.obs_noise[k]) for k in slot_kinds]
+  P0 = np.tile(np.diag(LocKalman.initial_P_diag), (B, 1, 1))
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for t in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, jnp.asarray(LocKalman.Q),
+                              jnp.asarray(dts[t]))
+      for k, kind in enumerate(slot_kinds):
+        om = spec.obs[kind]
+        x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                  jnp.asarray(zs[t, k, i, :om.dz]),
+                                  jnp.asarray(R_list[k]),
+                                  jnp.asarray(eas[t, k, i, :om.ea_len]))
+    np.testing.assert_allclose(np.asarray(bank.x[i]), np.asarray(x),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(bank.P[i]), np.asarray(P),
+                               rtol=1e-7, atol=1e-8)
+  assert bank.t == pytest.approx(dts.sum())
+
+
 def test_observe_out_of_order_equals_sorted():
   """Within-window shuffled observe() stream == the sorted stream,
   including an extra-args kind (pseudorange) — bank-scale rewind+replay

@@ -244,6 +244,76 @@ def test_generic_mixed_kernel_matches_oracle(use_structure):
 
 
 @pytest.mark.parametrize("use_structure", [False, True])
+def test_generic_epoch_kernel_gnss_matches_oracle(use_structure):
+  """Epoch-batched kernel (one predict + K unrolled updates per step — the
+  reference's predict_and_update_batch shape, ekf_sym.py:484-531): a GNSS
+  epoch of 3 pseudoranges + 2 rates per step vs the core/step oracle."""
+  from rednose_tpu.models.live import ObservationKind as OK
+  from rednose_tpu.models.loc import LocKalman
+  from rednose_tpu.ops import sparsity
+
+  spec = LocKalman.build_spec()
+  slot_kinds = (int(OK.PSEUDORANGE_GPS),) * 3 \
+      + (int(OK.PSEUDORANGE_RATE_GPS),) * 2
+  K, B, T = len(slot_kinds), 16, 6
+  rng = np.random.RandomState(13)
+
+  x0 = np.tile(LocKalman.initial_x, (B, 1)) + rng.randn(B, 11)
+  P0 = np.tile(np.eye(11) * 10.0, (B, 1, 1))
+  Q = np.asarray(LocKalman.Q)
+  dts = np.full((T,), 1.0)
+
+  sat_pos = LocKalman.initial_x[:3][None, None, None] \
+      + 2.0e7 * rng.randn(T, K, B, 3)
+  sat_vel = 3e3 * rng.randn(T, K, B, 3)
+  eas = np.concatenate([sat_pos, sat_vel], axis=-1)
+  d = x0[None, None, :, :3] - sat_pos
+  u = d / np.linalg.norm(d, axis=-1, keepdims=True)
+  rho = np.linalg.norm(d, axis=-1) + x0[None, None, :, 6] \
+      + 2.0 * rng.randn(T, K, B)
+  rate = np.sum(u * (x0[None, None, :, 3:6] - sat_vel), axis=-1) \
+      + x0[None, None, :, 7] + 0.05 * rng.randn(T, K, B)
+  is_rho = (np.arange(K) < 3)[None, :, None]
+  zs = np.where(is_rho, rho, rate)[..., None]
+  zs[:, 1, ::4, 0] += 1e5                # one bad satellite: per-slot gate
+  R_list = [np.atleast_2d(4.0)] * 3 + [np.atleast_2d(0.05**2)] * 2
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R)
+                 for R in R_list)
+
+  structure = (sparsity.structure_for(spec, jnp.asarray(LocKalman.initial_x))
+               if use_structure else None)
+
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
+  zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs))
+  easp = pallas_bank.pack_bank_epochs(jnp.asarray(eas))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+
+  xo, Po = pallas_bank.generic_bank_scan_epoch(
+      xp, Pp, zsp, jnp.asarray(dts), easp, spec=spec,
+      slot_kinds=slot_kinds, q_diag=q_diag, r_mats=r_mats, t_chunk=3,
+      tile_b=8, interpret=True, structure=structure)
+  xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  # oracle: predict once per epoch, then the K updates in slot order
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for t in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, jnp.asarray(Q),
+                              jnp.asarray(dts[t]))
+      for k, kind in enumerate(slot_kinds):
+        om = spec.obs[kind]
+        x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                  jnp.asarray(zs[t, k, i, :om.dz]),
+                                  jnp.asarray(R_list[k]),
+                                  jnp.asarray(eas[t, k, i, :om.ea_len]))
+    np.testing.assert_allclose(np.asarray(xu[i]), np.asarray(x),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Pu[:, :, i]), np.asarray(P),
+                               rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("use_structure", [False, True])
 def test_generic_mixed_kernel_pseudorange_schedule(use_structure):
   """A real GNSS epoch schedule — interleaved pseudorange (ea 3) and
   pseudorange-rate (ea 6) kinds — through generic_bank_scan_mixed's padded
