@@ -93,6 +93,18 @@ class FilterEngine:
   def get_augment_times(self):
     return self.augment_times
 
+  def normalize_quaternions(self):
+    """Renormalize every quaternion block of the nominal state
+    (reference: ekf_sym.py:405-407)."""
+    for idx in self.spec.quaternion_idxs:
+      self.normalize_slice(idx, idx + 4)
+
+  def normalize_slice(self, slice_start, slice_end_ex):
+    """Unit-normalize x[slice_start:slice_end_ex] (ekf_sym.py:409-410)."""
+    seg = self.x[slice_start:slice_end_ex]
+    self.x = self.x.at[slice_start:slice_end_ex].set(
+        seg / jnp.linalg.norm(seg))
+
   def get_extra_routine(self, name):
     """Fetch a spec-shipped auxiliary function, jitted (reference:
     EKFSym::get_extra_routine, ekf_sym.cc:221-223). ParamsRoutine-wrapped

@@ -141,3 +141,21 @@ def test_cost_report():
       lambda x, P, Q, dt: step_ops.predict(spec, {}, x, P, Q, dt),
       jnp.zeros(2), jnp.eye(2), jnp.eye(2), jnp.asarray(0.01))
   assert rep.get('flops', 0) > 0
+
+
+def test_normalize_quaternions():
+  """normalize_quaternions / normalize_slice (reference ekf_sym.py:405-410):
+  every quaternion block renormalized to unit length, rest untouched."""
+  from rednose_tpu.models.live import LiveKalman
+
+  kf = LiveKalman()
+  eng = kf.filter
+  x = np.asarray(eng.state())
+  x[3:7] = [2.0, 0.0, 0.0, 0.0]           # denormalized quaternion
+  eng.init_state(x, np.asarray(eng.covs()), 0.0)
+  eng.normalize_quaternions()
+  out = eng.state()
+  np.testing.assert_allclose(np.linalg.norm(out[3:7]), 1.0, rtol=1e-6)
+  np.testing.assert_allclose(out[3:7], [1.0, 0.0, 0.0, 0.0], atol=1e-7)
+  np.testing.assert_allclose(out[:3], x[:3], rtol=1e-7)  # rest untouched
+  np.testing.assert_allclose(out[7:], x[7:], rtol=1e-7)
