@@ -1,0 +1,152 @@
+"""Shared machinery for the production bank facades.
+
+LiveKalmanBank (hand-derived live kernels, runtime/live_bank.py) and
+KalmanBank (entry-level generic kernels for ANY spec,
+runtime/generic_bank.py) expose the same ergonomics: a B-wide bank with a
+shared clock, out-of-order observe() on a sparse-snapshot rewind ring
+(reference semantics: ekf_sym.py:464-482 / ekf_sym.cc:83-156), per-lane
+divergence recovery, and save/load. This base class owns everything that
+is not kernel-selection so the two facades cannot drift: the OOO
+insertion/merge/replay logic, the too-old rejection, snapshot lifecycle,
+divergence detection, and the checkpoint round trip.
+
+Subclasses provide `_apply_one(t, *payload)` (apply one observation and
+record it on the ring) plus the run_* bulk paths, and initialise the base
+fields in __init__.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from rednose_tpu.runtime.bank import BankState
+from rednose_tpu.runtime.checkpoint import load_bank, save_bank
+
+
+def largest_divisor(n: int, candidates) -> int:
+  for c in candidates:
+    if n % c == 0:
+      return c
+  return 1
+
+
+class BankFacadeBase:
+  """State/time/rewind/divergence/persistence core of a bank facade.
+
+  Required instance fields (set by the subclass __init__): batch, dtype,
+  _x (B, dim_x), _P (de, de, B) lane-major, t (host f64 clock), _ring
+  (BankRewindRing), max_rewind_age, logger, _x0_1d, _P_diag0, and
+  _quaternion_idxs (tuple of nominal-state offsets of quaternion blocks,
+  for the divergence window guard).
+  """
+
+  # ---------------------------------------------------------------- state
+
+  @property
+  def x(self):
+    """(B, dim_x) nominal states."""
+    return self._x
+
+  @property
+  def P(self):
+    """(B, de, de) error-state covariances."""
+    return jnp.transpose(self._P, (2, 0, 1))
+
+  def state(self) -> BankState:
+    # BankState.t is seconds SINCE epoch (runtime/bank.py contract) and
+    # every lane steps in lockstep with the shared bank clock, so the real
+    # per-lane filter time is exactly epoch + 0: t=0 here is not a
+    # fabrication, it keeps absolute_t() == self.t while the f64 epoch
+    # carries the full-precision clock (f32 lanes would quantize an
+    # epoch-scale time to ~256 s, CLAUDE.md)
+    return BankState(x=self._x, P=self.P,
+                     t=jnp.zeros((self.batch,), self.dtype),
+                     epoch=self.t)
+
+  def diverged(self):
+    """(B,) bool: lanes whose state or covariance went non-finite, or whose
+    quaternion norm left the divergence window — the bank analog of the
+    single-filter quat-norm guard -> KalmanError (reference:
+    live_kf.py:299-306). Traced-friendly (no host sync)."""
+    ok = (jnp.all(jnp.isfinite(self._x), axis=1)
+          & jnp.all(jnp.isfinite(self._P), axis=(0, 1)))
+    for idx in self._quaternion_idxs:
+      qn = jnp.linalg.norm(self._x[:, idx:idx + 4], axis=1)
+      ok = ok & (qn > 0.1) & (qn < 10.0)
+    return ~ok
+
+  def reset_diverged(self, x0=None, P_diag=None):
+    """Elastic recovery: re-seed only the diverged lanes from the initial
+    state (or the given one) and report how many were reset. Healthy lanes
+    are untouched, so one bad lane never forces a bank-wide restart — the
+    wide-bank analog of the reference's caller-side init_state re-seed on
+    KalmanError."""
+    bad = self.diverged()
+    x0 = jnp.asarray(self._x0_1d if x0 is None else x0, self.dtype)
+    P_diag = self._P_diag0 if P_diag is None else np.asarray(P_diag)
+    P0 = jnp.asarray(np.diag(P_diag), self.dtype)
+    self._x = jnp.where(bad[:, None], x0[None, :], self._x)
+    self._P = jnp.where(bad[None, None, :], P0[:, :, None], self._P)
+    # a later rewind must never replay through a pre-reset snapshot and
+    # resurrect the diverged lanes
+    self._ring.clear()
+    return int(jnp.sum(bad))
+
+  def save(self, path):
+    save_bank(path, self.state())
+
+  def load(self, path):
+    st = load_bank(path, dtype=self.dtype)
+    assert st.x.shape == (self.batch, self._x.shape[1]), st.x.shape
+    self._x = st.x
+    self._P = jnp.transpose(st.P, (1, 2, 0))
+    self.t = st.epoch
+    self._ring.clear()  # snapshots from before the load are another timeline
+    return self
+
+  # --------------------------------------------------------------- rewind
+
+  def _observe_ordered(self, t, payload):
+    """Driver-style out-of-order handling for one observation whose
+    ring/replay payload is `(t, *payload)` (reference: ekf_sym.py:464-482 /
+    ekf_sym.cc:83-156): a late observation inside the rewind window rolls
+    the bank back to the newest snapshot at-or-before t and replays the
+    buffered observations around it, inserted in time order; older than
+    the window it is dropped (returns None)."""
+    if t < self.t:  # late observation
+      if not self._ring.can_rewind(t, self.max_rewind_age):
+        self.logger.error(
+            f"bank observation too old at {t:.3f} with bank at "
+            f"{self.t:.3f}, ignoring")
+        return None
+      t_restore, (x, P), replay = self._ring.rewind(t)
+      self._x, self._P = x, P
+      self.t = t_restore
+      # insert by timestamp among the replayed observations (driver
+      # semantics: everything rewound past is re-applied in time order)
+      merged, inserted = [], False
+      for obs in replay:
+        if not inserted and obs[0] > t:
+          merged.append((t, *payload))
+          inserted = True
+        merged.append(obs)
+      if not inserted:
+        merged.append((t, *payload))
+      for obs in merged:
+        self._apply_one(*obs)
+      return self
+    self._apply_one(t, *payload)
+    return self
+
+  # ----------------------------------------------------------------- runs
+
+  def _tiles(self, T):
+    # t_chunk >= 8: the kernel's SMEM dts stream block shape must be
+    # divisible by 8 (Mosaic block-shape rule); run()/run_mixed() route
+    # T % 8 != 0 to the lane path
+    return largest_divisor(T, (128, 64, 32, 16, 8)), self._tile_b()
+
+  def _tile_b(self):
+    return largest_divisor(self.batch,
+                           (1024, 512, 256, 128, 64, 32, 16, 8))

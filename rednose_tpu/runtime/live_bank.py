@@ -25,20 +25,16 @@ import logging
 
 from rednose_tpu.models.live import LiveKalman, ObservationKind
 from rednose_tpu.ops import live_lane, pallas_live
-from rednose_tpu.runtime.bank import BankState
-from rednose_tpu.runtime.checkpoint import load_bank, save_bank
+from rednose_tpu.runtime.bank_facade import BankFacadeBase
 from rednose_tpu.runtime.rewind import BankRewindRing
 
 
-def _largest_divisor(n: int, candidates) -> int:
-  for c in candidates:
-    if n % c == 0:
-      return c
-  return 1
+class LiveKalmanBank(BankFacadeBase):
+  """B independent live 23/22 ESKFs stepped as one compiled program.
 
-
-class LiveKalmanBank:
-  """B independent live 23/22 ESKFs stepped as one compiled program."""
+  State/time/OOO-rewind/divergence/save-load live in BankFacadeBase; this
+  class owns the hand-derived live kernel selection (ops/pallas_live.py on
+  TPU, ops/live_lane.py elsewhere)."""
 
   def __init__(self, batch: int, x0=None, P_diag=None, Q=None,
                dtype=jnp.float32, use_pallas: bool | None = None,
@@ -49,6 +45,9 @@ class LiveKalmanBank:
     x0 = LiveKalman.initial_x if x0 is None else np.asarray(x0)
     P_diag = (LiveKalman.initial_P_diag if P_diag is None
               else np.asarray(P_diag))
+    self._x0_1d = x0 if x0.ndim == 1 else np.asarray(LiveKalman.initial_x)
+    self._P_diag0 = P_diag
+    self._quaternion_idxs = (3,)
     self.Q = jnp.asarray(LiveKalman.Q if Q is None else Q, dtype)
     self._q_diag = tuple(float(v)
                          for v in np.diag(np.asarray(self.Q, np.float64)))
@@ -81,69 +80,6 @@ class LiveKalmanBank:
     self.logger = logger
     self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
 
-  # ------------------------------------------------------------------ state
-
-  @property
-  def x(self):
-    """(B, 23) nominal states."""
-    return self._x
-
-  @property
-  def P(self):
-    """(B, 22, 22) error-state covariances."""
-    return jnp.transpose(self._P, (2, 0, 1))
-
-  def state(self) -> BankState:
-    # BankState.t is seconds SINCE epoch (runtime/bank.py contract) and
-    # every lane steps in lockstep with the shared bank clock, so the real
-    # per-lane filter time is exactly epoch + 0: t=0 here is not a
-    # fabrication, it keeps absolute_t() == self.t while the f64 epoch
-    # carries the full-precision clock (f32 lanes would quantize an
-    # epoch-scale time to ~256 s, CLAUDE.md)
-    return BankState(x=self._x, P=self.P,
-                     t=jnp.zeros((self.batch,), self.dtype),
-                     epoch=self.t)
-
-  def diverged(self):
-    """(B,) bool: lanes whose state or covariance went non-finite, or whose
-    quaternion norm left the live divergence window (the bank analog of the
-    single-filter quat-norm guard -> KalmanError, models/live.py;
-    reference: live_kf.py:299-306). Traced-friendly (no host sync)."""
-    finite = (jnp.all(jnp.isfinite(self._x), axis=1)
-              & jnp.all(jnp.isfinite(self._P), axis=(0, 1)))
-    qn = jnp.linalg.norm(self._x[:, 3:7], axis=1)
-    return ~(finite & (qn > 0.1) & (qn < 10.0))
-
-  def reset_diverged(self, x0=None, P_diag=None):
-    """Elastic recovery: re-seed only the diverged lanes from the initial
-    state (or the given one) and report how many were reset. Healthy lanes
-    are untouched, so one bad lane never forces a bank-wide restart — the
-    wide-bank analog of the reference's caller-side init_state re-seed on
-    KalmanError."""
-    bad = self.diverged()
-    x0 = jnp.asarray(LiveKalman.initial_x if x0 is None else x0, self.dtype)
-    P_diag = np.asarray(LiveKalman.initial_P_diag if P_diag is None
-                        else P_diag)
-    P0 = jnp.asarray(np.diag(P_diag), self.dtype)
-    self._x = jnp.where(bad[:, None], x0[None, :], self._x)
-    self._P = jnp.where(bad[None, None, :], P0[:, :, None], self._P)
-    # a later rewind must never replay through a pre-reset snapshot and
-    # resurrect the diverged lanes
-    self._ring.clear()
-    return int(jnp.sum(bad))
-
-  def save(self, path):
-    save_bank(path, self.state())
-
-  def load(self, path):
-    st = load_bank(path, dtype=self.dtype)
-    assert st.x.shape == (self.batch, 23), st.x.shape
-    self._x = st.x
-    self._P = jnp.transpose(st.P, (1, 2, 0))
-    self.t = st.epoch
-    self._ring.clear()  # snapshots from before the load are another timeline
-    return self
-
   # --------------------------------------------------- per-observation API
 
   _OBS_KINDS = tuple(sorted(live_lane.LANE_KINDS))
@@ -173,31 +109,7 @@ class LiveKalmanBank:
     if dz < 3:
       z = np.concatenate([z, np.zeros((self.batch, 3 - dz))], axis=1)
     R = np.asarray(R, dtype=np.float64).reshape(dz, dz)
-
-    if t < self.t:  # late observation
-      if not self._ring.can_rewind(t, self.max_rewind_age):
-        self.logger.error(
-            f"bank observation too old at {t:.3f} with bank at "
-            f"{self.t:.3f}, ignoring")
-        return None
-      t_restore, (x, P), replay = self._ring.rewind(t)
-      self._x, self._P = x, P
-      self.t = t_restore
-      # insert by timestamp among the replayed observations (driver
-      # semantics: everything rewound past is re-applied in time order)
-      merged, inserted = [], False
-      for obs in replay:
-        if not inserted and obs[0] > t:
-          merged.append((t, kind, z, R, gate))
-          inserted = True
-        merged.append(obs)
-      if not inserted:
-        merged.append((t, kind, z, R, gate))
-      for obs in merged:
-        self._apply_one(*obs)
-      return self
-    self._apply_one(t, kind, z, R, gate)
-    return self
+    return self._observe_ordered(t, (kind, z, R, gate))
 
   def _apply_one(self, t, kind, z, R, gate):
     dt = max(float(t) - self.t, 0.0)
@@ -214,14 +126,6 @@ class LiveKalmanBank:
     self._ring.record(self.t, (self._x, self._P), (self.t, kind, z, R, gate))
 
   # ------------------------------------------------------------------- runs
-
-  def _tiles(self, T):
-    # t_chunk >= 8: the kernel's SMEM dts stream block shape must be
-    # divisible by 8 (Mosaic block-shape rule); run()/run_mixed() route
-    # T % 8 != 0 to the lane path
-    t_chunk = _largest_divisor(T, (128, 64, 32, 16, 8))
-    tile_b = _largest_divisor(self.batch, (1024, 512, 256, 128, 64, 32, 16, 8))
-    return t_chunk, tile_b
 
   def run(self, dts, zs, R=None, gate: bool = False):
     """T fused predict + ECEF_POS-update steps: dts (T,), zs (T, B, 3),
