@@ -600,6 +600,10 @@ def lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple, params, x, P,
   max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
   assert zs.shape[1] == len(slot_kinds) and zs.shape[-1] == max_dz, zs.shape
   assert (eas is None) == (max_ea == 0)
+  if eas is not None:
+    assert eas.shape[:2] == zs.shape[:2] and eas.shape[-1] == max_ea, (
+        f"eas {eas.shape}: want (T, K, B, {max_ea}) padded to the largest "
+        f"slot ea_len, matching zs {zs.shape}")
 
   def body(carry, inp):
     xc, Pc = carry

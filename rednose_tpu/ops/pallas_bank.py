@@ -197,9 +197,18 @@ def pack_bank_measurements(zs):
   return jnp.swapaxes(zs, 1, 2).reshape(T, dz, SUBLANES, B // SUBLANES)
 
 
-def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
-            spec, kind, t_chunk: int, q_diag, r_mat, gate: bool,
-            structure, entry: bool):
+def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec, kind,
+            t_chunk: int, q_diag, r_mat, gate: bool, structure,
+            entry: bool, has_ea: bool):
+  """Single-kind step kernel; with has_ea, a per-step per-lane extra-args
+  stream (the pseudorange family's satellite states) rides along,
+  mirroring _vo_kernel's layout."""
+  if has_ea:
+    eas_ref, x_out_ref, p_out_ref = rest
+  else:
+    eas_ref = None
+    x_out_ref, p_out_ref = rest
+
   j = pl.program_id(1)
 
   @pl.when(j == 0)
@@ -211,43 +220,12 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, x_out_ref, p_out_ref, *,
     x, P = carry
     dt = dts_ref[k, 0]
     z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
+    ea = (eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
+          if has_ea else None)
     if entry:
       # entry-level body (ops/entry_slab.py): the structural interpreter
       # emits the whole step on slab values — the minimal-op path that
       # lets live-complexity specs fit the Mosaic compile budget
-      from rednose_tpu.ops.entry_slab import entry_step_slab
-      x, P, _ = entry_step_slab(spec, kind, {}, x, P, z, q_diag, r_mat,
-                                dt, structure, gate=gate)
-    else:
-      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
-                                  structure=structure)
-      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
-                                    gate=gate, structure=structure)
-    return (x, P)
-
-  x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
-  x_out_ref[:] = x
-  p_out_ref[:] = P
-
-
-def _kernel_ea(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
-               p_out_ref, *, spec, kind, t_chunk: int, q_diag, r_mat,
-               gate: bool, structure, entry: bool):
-  """generic _kernel plus a per-step per-lane extra-args stream (the
-  pseudorange family's satellite states), mirroring _vo_kernel's layout."""
-  j = pl.program_id(1)
-
-  @pl.when(j == 0)
-  def _():
-    x_out_ref[:] = x_in_ref[:]
-    p_out_ref[:] = p_in_ref[:]
-
-  def body(k, carry):
-    x, P = carry
-    dt = dts_ref[k, 0]
-    z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
-    ea = eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
-    if entry:
       from rednose_tpu.ops.entry_slab import entry_step_slab
       x, P, _ = entry_step_slab(spec, kind, {}, x, P, z, q_diag, r_mat,
                                 dt, structure, gate=gate, ea=ea)
@@ -327,14 +305,100 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
   p_out_ref[:] = P
 
 
+def _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate, structure,
+                     entry, x, P, z_t, ea_t, dt):
+  """One fully-unrolled epoch step (one predict + K inline slot updates)
+  on slab values — shared by _epoch_kernel's 'unroll' mode and the
+  auto-mode op counter (epoch_flat_body_ops), so the count is exact."""
+  from rednose_tpu.ops.entry_slab import entry_predict_slab, \
+      entry_update_slab
+  if entry:
+    x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+  else:
+    x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+                                structure=structure)
+  for k, kind in enumerate(slot_kinds):
+    om = spec.obs[kind]
+    z = z_t[k, :om.dz]
+    ea = ea_t[k, :om.ea_len] if om.ea_len else None
+    g = gate and om.maha_test
+    if entry:
+      x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mats[k], g,
+                                  structure, ea=ea)
+    else:
+      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mats[k],
+                                    gate=g, structure=structure, ea=ea)
+  return x, P
+
+
+def _num_eqns(jaxpr) -> int:
+  n = len(jaxpr.eqns)
+  for eq in jaxpr.eqns:
+    for key in ('jaxpr', 'call_jaxpr', 'cond_jaxpr', 'body_jaxpr'):
+      sub = eq.params.get(key)
+      if sub is not None:
+        n += _num_eqns(getattr(sub, 'jaxpr', sub))
+    for sub in (eq.params.get('branches') or ()):
+      n += _num_eqns(sub.jaxpr)
+  return n
+
+
+# Mosaic compile cost scales superlinearly with the per-region op count.
+# Measured anchors for FLAT epoch bodies (epoch_flat_body_ops counts):
+# the GNSS 8-slot epoch (LocKalman, 2506 ops) compiles and runs at 1.448B
+# updates/s; the live 4-distinct-kind epoch (3933 ops) OOMs the remote
+# compile helper. Flat bodies above this budget route to the per-slot
+# lax.switch dispatch, whose branch regions stay at one-update size.
+EPOCH_UNROLL_OP_BUDGET = 2600
+
+
+@functools.lru_cache(maxsize=None)
+def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
+                        entry, has_ea) -> int:
+  """Exact jaxpr op count of one flat epoch step at tiny slab shapes —
+  the quantity the Mosaic compile budget actually sees."""
+  dx, de = spec.dim_x, spec.dim_err
+  K = len(slot_kinds)
+  max_dz = max(spec.obs[k].dz for k in slot_kinds)
+  max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
+  b = (8, 8)
+  f32 = jnp.float32
+  x_s = jax.ShapeDtypeStruct((dx,) + b, f32)
+  P_s = jax.ShapeDtypeStruct((de, de) + b, f32)
+  z_s = jax.ShapeDtypeStruct((K, max_dz) + b, f32)
+  dt_s = jax.ShapeDtypeStruct((), f32)
+
+  def step(x, P, z_t, ea_t, dt):
+    return _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate,
+                            structure, entry, x, P, z_t, ea_t, dt)
+
+  if has_ea:
+    ea_s = jax.ShapeDtypeStruct((K, max_ea) + b, f32)
+    closed = jax.make_jaxpr(step)(x_s, P_s, z_s, ea_s, dt_s)
+  else:
+    closed = jax.make_jaxpr(
+        lambda x, P, z_t, dt: step(x, P, z_t, None, dt))(x_s, P_s, z_s,
+                                                         dt_s)
+  return _num_eqns(closed.jaxpr)
+
+
 def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
                   slot_kinds, t_chunk: int, q_diag, r_mats, gate: bool,
-                  structure, entry: bool, has_ea: bool):
-  """Epoch-batched step: ONE predict then K statically-unrolled updates
-  per time step — the reference's predict_and_update_batch shape
-  (ekf_sym.py:484-531: predict once at t, then every measurement of the
-  epoch) as a kernel body. slot_kinds is static, so there is no dispatch
-  at all; a GNSS epoch (7 pseudoranges + 7 rates) is one fused body."""
+                  structure, entry: bool, has_ea: bool, slot_mode: str):
+  """Epoch-batched step: ONE predict then K slot updates per time step —
+  the reference's predict_and_update_batch shape (ekf_sym.py:484-531:
+  predict once at t, then every measurement of the epoch) as a kernel
+  body. slot_kinds is static. Two dispatch modes:
+
+    'unroll': all K updates inline in one region — zero dispatch, the
+      fastest form while the flat body fits the Mosaic op budget (the
+      canonical GNSS epoch: 7 pseudoranges + 7 rates).
+    'switch': fori_loop over slots with a lax.switch over one branch per
+      DISTINCT (kind, R) — Mosaic compiles each branch as its own region,
+      so per-region op count stays at one-update size no matter how many
+      distinct kinds the epoch mixes (the structure _mixed_kernel already
+      proves compilable; this is what lets live-complexity epochs — 4+
+      distinct 22-dim kinds — reach the kernel at all)."""
   if has_ea:
     eas_ref, x_out_ref, p_out_ref = rest
   else:
@@ -351,29 +415,65 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
   from rednose_tpu.ops.entry_slab import entry_predict_slab, \
       entry_update_slab
 
+  K = len(slot_kinds)
+  if slot_mode == 'switch':
+    # one branch per distinct (kind, R); slots map onto branches
+    keys, branch_of_slot = [], []
+    for k, kind in enumerate(slot_kinds):
+      key = (kind, r_mats[k])
+      if key not in keys:
+        keys.append(key)
+      branch_of_slot.append(keys.index(key))
+
+    def _branch(kind, r_mat):
+      om = spec.obs[kind]
+
+      def apply(x, P, z_row, ea_row):
+        z = z_row[:om.dz]
+        ea = ea_row[:om.ea_len] if (has_ea and om.ea_len) else None
+        g = gate and om.maha_test
+        if entry:
+          x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mat, g,
+                                      structure, ea=ea)
+        else:
+          x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
+                                        gate=g, structure=structure, ea=ea)
+        return x, P
+
+      return apply
+
+    branches = tuple(_branch(kind, r_mat) for kind, r_mat in keys)
+
   def body(t, carry):
     x, P = carry
     dt = dts_ref[t, 0]
+    if slot_mode == 'switch':
+      if entry:
+        x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+      else:
+        x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+                                    structure=structure)
+
+      def slot_body(k, carry_k):
+        xk, Pk = carry_k
+        z_row = zs_ref[pl.ds(t, 1), pl.ds(k, 1)].reshape(zs_ref.shape[2:])
+        ea_row = (eas_ref[pl.ds(t, 1),
+                          pl.ds(k, 1)].reshape(eas_ref.shape[2:])
+                  if has_ea else xk[:1] * 0.0)
+        if len(branches) == 1:
+          return branches[0](xk, Pk, z_row, ea_row)
+        bi = jnp.int32(branch_of_slot[0])
+        for i in range(1, K):
+          bi = jnp.where(k == i, jnp.int32(branch_of_slot[i]), bi)
+        return jax.lax.switch(bi, branches, xk, Pk, z_row, ea_row)
+
+      return jax.lax.fori_loop(0, K, slot_body, (x, P))
+
     z_t = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])    # (K, max_dz, *b)
     ea_t = (eas_ref[pl.ds(t, 1)].reshape(eas_ref.shape[1:])
             if has_ea else None)
-    if entry:
-      x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
-    else:
-      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
-                                  structure=structure)
-    for k, kind in enumerate(slot_kinds):
-      om = spec.obs[kind]
-      z = z_t[k, :om.dz]
-      ea = ea_t[k, :om.ea_len] if om.ea_len else None
-      g = gate and om.maha_test
-      if entry:
-        x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mats[k], g,
-                                    structure, ea=ea)
-      else:
-        x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mats[k],
-                                      gate=g, structure=structure, ea=ea)
-    return (x, P)
+    return _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate,
+                            structure, entry, x, P, z_t, ea_t, dt)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
   x_out_ref[:] = x
@@ -472,12 +572,14 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'slot_kinds', 'q_diag', 'r_mats', 'gate',
-                     't_chunk', 'tile_b', 'interpret', 'structure', 'entry'))
+                     't_chunk', 'tile_b', 'interpret', 'structure', 'entry',
+                     'slot_mode'))
 def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
                             eas_packed=None, *, spec, slot_kinds, q_diag,
                             r_mats, gate: bool = True, t_chunk: int = 32,
                             tile_b: int = 1024, interpret: bool = False,
-                            structure=None, entry: bool = True):
+                            structure=None, entry: bool = True,
+                            slot_mode: str = 'auto'):
   """T EPOCHS, each one predict + K statically-unrolled updates — the
   reference's predict_and_update_batch semantics (predict once at t, then
   every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
@@ -492,6 +594,13 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
     eas_packed: (T, K, max_ea_len, 8, B/8) (required iff some slot kind
       takes extra args).
     r_mats: per-slot static noise, tuple of (dz, dz) nested tuples.
+    slot_mode: 'unroll' (all K updates inline — zero dispatch), 'switch'
+      (fori_loop + per-distinct-(kind, R) lax.switch branches — per-region
+      op count stays at one-update size), or 'auto' (default): count the
+      flat body's ops exactly (epoch_flat_body_ops) and unroll only while
+      it fits EPOCH_UNROLL_OP_BUDGET. This is what lets live-complexity
+      epochs (4+ distinct 22-dim kinds) compile at all while GNSS-class
+      epochs keep the faster flat form.
   gate=True (default) applies each kind's own maha_test flag per slot —
   one bad satellite is rejected without touching the rest of the epoch."""
   T = zs_packed.shape[0]
@@ -516,11 +625,17 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
         eas_packed.shape
   n_b, n_t = B // tile_b, T // t_chunk
 
+  entry = entry and structure is not None
+  assert slot_mode in ('auto', 'unroll', 'switch'), slot_mode
+  if slot_mode == 'auto':
+    flat_ops = epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate,
+                                   structure, entry,
+                                   eas_packed is not None)
+    slot_mode = 'unroll' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
   kernel = functools.partial(
       _epoch_kernel, spec=spec, slot_kinds=slot_kinds, t_chunk=t_chunk,
       q_diag=q_diag, r_mats=r_mats, gate=gate, structure=structure,
-      entry=entry and structure is not None,
-      has_ea=eas_packed is not None)
+      entry=entry, has_ea=eas_packed is not None, slot_mode=slot_mode)
 
   in_specs = [
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
@@ -572,7 +687,7 @@ def pack_bank_epochs(zs):
                      'tile_b', 'interpret', 'structure', 'entry'))
 def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
                             eas_packed=None, *, spec, kinds, q_diag, r_mats,
-                            gate: bool = False, t_chunk: int = 128,
+                            gate: bool = True, t_chunk: int = 128,
                             tile_b: int = 1024, interpret: bool = False,
                             structure=None, entry: bool = True):
   """Heterogeneous-kind fused bank for ANY scatter-free spec: each step is
@@ -704,11 +819,11 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, eas_packed=None,
     assert eas_packed.shape == (T, mea, SUBLANES, bsub), eas_packed.shape
   n_b, n_t = B // tile_b, T // t_chunk
 
-  base = _kernel_ea if eas_packed is not None else _kernel
-  kernel = functools.partial(base, spec=spec, kind=kind, t_chunk=t_chunk,
+  kernel = functools.partial(_kernel, spec=spec, kind=kind, t_chunk=t_chunk,
                              q_diag=q_diag, r_mat=r_mat, gate=gate,
                              structure=structure,
-                             entry=entry and structure is not None)
+                             entry=entry and structure is not None,
+                             has_ea=eas_packed is not None)
 
   in_specs = [
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),

@@ -200,7 +200,7 @@ def sharded_generic_bank_scan_mixed(mesh: Mesh, x_packed, P_packed,
                                     zs_packed, dts, kind_idx,
                                     eas_packed=None, *, spec, kinds,
                                     q_diag, r_mats, structure=None,
-                                    gate: bool = False, t_chunk: int = 128,
+                                    gate: bool = True, t_chunk: int = 128,
                                     tile_b: int = 1024,
                                     interpret: bool = False,
                                     entry: bool = True):

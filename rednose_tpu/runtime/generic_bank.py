@@ -33,16 +33,10 @@ import numpy as np
 
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops import lane_bank, pallas_bank, sparsity
-from rednose_tpu.runtime.bank import BankState
-from rednose_tpu.runtime.checkpoint import load_bank, save_bank
+from rednose_tpu.runtime.bank_facade import BankFacadeBase
+from rednose_tpu.runtime.bank_facade import largest_divisor as \
+    _largest_divisor
 from rednose_tpu.runtime.rewind import BankRewindRing
-
-
-def _largest_divisor(n: int, candidates) -> int:
-  for c in candidates:
-    if n % c == 0:
-      return c
-  return 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -67,11 +61,13 @@ def _jit_step(spec: FilterSpec, kind: int, structure, has_ea: bool):
   return jax.jit(fn)
 
 
-class KalmanBank:
+class KalmanBank(BankFacadeBase):
   """B independent filters of one arbitrary spec, stepped as one compiled
   program. Pass either a model class (duck-typed like the shipped models:
   build_spec() plus initial_x / initial_P_diag / Q / obs_noise attrs) or
-  an explicit spec= with x0/P_diag/Q."""
+  an explicit spec= with x0/P_diag/Q. State/time/OOO-rewind/divergence/
+  save-load live in BankFacadeBase; this class owns spec handling and the
+  automatic kernel selection."""
 
   def __init__(self, model=None, batch: int = 1024, *, spec=None,
                x0=None, P_diag=None, Q=None, obs_noise=None,
@@ -97,6 +93,7 @@ class KalmanBank:
     self.spec = spec
     self.batch = batch
     self.dtype = dtype
+    self._quaternion_idxs = tuple(spec.quaternion_idxs)
     self.obs_noise = dict(obs_noise or {})
     x0 = np.asarray(x0)
     self._x0_1d = x0 if x0.ndim == 1 else np.asarray(x0[0])
@@ -138,57 +135,6 @@ class KalmanBank:
     self.max_rewind_age = max_rewind_age
     self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
 
-  # ------------------------------------------------------------------ state
-
-  @property
-  def x(self):
-    """(B, dim_x) nominal states."""
-    return self._x
-
-  @property
-  def P(self):
-    """(B, de, de) error-state covariances."""
-    return jnp.transpose(self._P, (2, 0, 1))
-
-  def state(self) -> BankState:
-    # t=0 relative to the f64 epoch: see LiveKalmanBank.state()
-    return BankState(x=self._x, P=self.P,
-                     t=jnp.zeros((self.batch,), self.dtype),
-                     epoch=self.t)
-
-  def diverged(self):
-    """(B,) bool: non-finite lanes, plus the quaternion-norm window guard
-    when the spec carries quaternion blocks (live_kf.py:299-306)."""
-    ok = (jnp.all(jnp.isfinite(self._x), axis=1)
-          & jnp.all(jnp.isfinite(self._P), axis=(0, 1)))
-    for idx in self.spec.quaternion_idxs:
-      qn = jnp.linalg.norm(self._x[:, idx:idx + 4], axis=1)
-      ok = ok & (qn > 0.1) & (qn < 10.0)
-    return ~ok
-
-  def reset_diverged(self, x0=None, P_diag=None):
-    """Re-seed only the diverged lanes (see LiveKalmanBank.reset_diverged)."""
-    bad = self.diverged()
-    x0 = jnp.asarray(self._x0_1d if x0 is None else x0, self.dtype)
-    P_diag = self._P_diag0 if P_diag is None else np.asarray(P_diag)
-    P0 = jnp.asarray(np.diag(P_diag), self.dtype)
-    self._x = jnp.where(bad[:, None], x0[None, :], self._x)
-    self._P = jnp.where(bad[None, None, :], P0[:, :, None], self._P)
-    self._ring.clear()
-    return int(jnp.sum(bad))
-
-  def save(self, path):
-    save_bank(path, self.state())
-
-  def load(self, path):
-    st = load_bank(path, dtype=self.dtype)
-    assert st.x.shape == (self.batch, self.spec.dim_x), st.x.shape
-    self._x = st.x
-    self._P = jnp.transpose(st.P, (1, 2, 0))
-    self.t = st.epoch
-    self._ring.clear()
-    return self
-
   # --------------------------------------------------- per-observation API
 
   def _default_R(self, kind):
@@ -223,29 +169,7 @@ class KalmanBank:
       assert ea.shape == (self.batch, om.ea_len), ea.shape
     else:
       assert ea is None, f"kind {kind} takes no extra args"
-
-    if t < self.t:  # late observation
-      if not self._ring.can_rewind(t, self.max_rewind_age):
-        self.logger.error(
-            f"bank observation too old at {t:.3f} with bank at "
-            f"{self.t:.3f}, ignoring")
-        return None
-      t_restore, (x, P), replay = self._ring.rewind(t)
-      self._x, self._P = x, P
-      self.t = t_restore
-      merged, inserted = [], False
-      for obs in replay:
-        if not inserted and obs[0] > t:
-          merged.append((t, kind, z, R, ea))
-          inserted = True
-        merged.append(obs)
-      if not inserted:
-        merged.append((t, kind, z, R, ea))
-      for obs in merged:
-        self._apply_one(*obs)
-      return self
-    self._apply_one(t, kind, z, R, ea)
-    return self
+    return self._observe_ordered(t, (kind, z, R, ea))
 
   def _apply_one(self, t, kind, z, R, ea):
     dt = max(float(t) - self.t, 0.0)
@@ -260,12 +184,6 @@ class KalmanBank:
     self._ring.record(self.t, (self._x, self._P), (self.t, kind, z, R, ea))
 
   # ------------------------------------------------------------------- runs
-
-  def _tiles(self, T):
-    t_chunk = _largest_divisor(T, (128, 64, 32, 16, 8))
-    tile_b = _largest_divisor(self.batch,
-                              (1024, 512, 256, 128, 64, 32, 16, 8))
-    return t_chunk, tile_b
 
   def run(self, dts, zs, kind, R=None, eas=None):
     """T fused predict+update steps of one kind: dts (T,), zs (T, B, dz),
@@ -306,7 +224,7 @@ class KalmanBank:
     return self
 
   def run_epochs(self, dts, zs, slot_kinds: Sequence[int], R_by_slot=None,
-                 eas=None):
+                 eas=None, slot_mode: str = 'auto'):
     """T epochs, each one predict + K updates (the reference's
     predict_and_update_batch semantics at bank-kernel speed): slot_kinds
     is the static epoch layout (repeat a kind for several same-kind
@@ -315,12 +233,12 @@ class KalmanBank:
     slot kind takes extra args. Per-slot R defaults to its kind's
     obs_noise.
 
-    Kernel-size note: the Pallas body unrolls one update per slot, so it
-    scales with the number of DISTINCT slot kinds x per-kind body size.
-    GNSS-class specs (LocKalman: 8+ slots) compile in seconds; a
-    live-complexity spec with 4 distinct kinds exceeds the Mosaic op
-    ceiling (remote compile OOM) — use run_mixed there, or
-    use_pallas=False for the lane path."""
+    slot_mode='auto' (default) counts the flat one-epoch body's ops
+    exactly and unrolls all K updates inline while it fits the Mosaic
+    compile budget (GNSS-class epochs); K-fat or live-complexity epochs
+    route to the per-slot lax.switch dispatch whose branch regions stay
+    at one-update size (pallas_bank._epoch_kernel) — ANY epoch schedule
+    reaches the kernel."""
     slot_kinds = tuple(int(k) for k in slot_kinds)
     max_ea = max(self.spec.obs[k].ea_len for k in slot_kinds)
     dts = np.asarray(dts, np.float64)
@@ -332,8 +250,8 @@ class KalmanBank:
     assert len(R_by_slot) == len(slot_kinds)
     assert (eas is None) == (max_ea == 0)
     if self.use_pallas and T % 8 == 0:
-      t_chunk = _largest_divisor(T, (32, 16, 8))
-      _, tile_b = self._tiles(T)
+      t_chunk = _largest_divisor(T, (32, 16, 8))   # epoch bodies are K-fat
+      tile_b = self._tile_b()
       xp, Pp = pallas_bank.pack_bank(self._x, self._P)
       zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs, self.dtype))
       easp = (pallas_bank.pack_bank_epochs(jnp.asarray(eas, self.dtype))
@@ -343,7 +261,8 @@ class KalmanBank:
       xp, Pp = pallas_bank.generic_bank_scan_epoch(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
           slot_kinds=slot_kinds, q_diag=self._q_diag, r_mats=r_mats,
-          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure)
+          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure,
+          slot_mode=slot_mode)
       self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
     else:
       fn = lane_bank.jit_lane_epoch_bank_scan(self.spec, slot_kinds,

@@ -370,3 +370,136 @@ def test_generic_mixed_kernel_pseudorange_schedule(use_structure):
   np.testing.assert_allclose(np.asarray(xu), x_ref, rtol=1e-7, atol=1e-8)
   np.testing.assert_allclose(np.asarray(Pu).transpose(2, 0, 1), P_ref,
                              rtol=1e-6, atol=1e-8)
+
+
+def test_generic_epoch_kernel_switch_mode_matches_unroll():
+  """slot_mode='switch' (fori_loop + per-distinct-(kind, R) lax.switch
+  branches — the dispatch that keeps per-region op count at one-update
+  size so live-complexity epochs can compile) computes EXACTLY what the
+  flat unroll computes, on the GNSS epoch schedule."""
+  from rednose_tpu.models.live import ObservationKind as OK
+  from rednose_tpu.models.loc import LocKalman
+  from rednose_tpu.ops import sparsity
+
+  spec = LocKalman.build_spec()
+  slot_kinds = (int(OK.PSEUDORANGE_GPS),) * 3 \
+      + (int(OK.PSEUDORANGE_RATE_GPS),) * 2
+  K, B, T = len(slot_kinds), 16, 6
+  rng = np.random.RandomState(13)
+
+  x0 = np.tile(LocKalman.initial_x, (B, 1)) + rng.randn(B, 11)
+  P0 = np.tile(np.eye(11) * 10.0, (B, 1, 1))
+  Q = np.asarray(LocKalman.Q)
+  dts = np.full((T,), 1.0)
+
+  sat_pos = LocKalman.initial_x[:3][None, None, None] \
+      + 2.0e7 * rng.randn(T, K, B, 3)
+  sat_vel = 3e3 * rng.randn(T, K, B, 3)
+  eas = np.concatenate([sat_pos, sat_vel], axis=-1)
+  d = x0[None, None, :, :3] - sat_pos
+  u = d / np.linalg.norm(d, axis=-1, keepdims=True)
+  rho = np.linalg.norm(d, axis=-1) + x0[None, None, :, 6] \
+      + 2.0 * rng.randn(T, K, B)
+  rate = np.sum(u * (x0[None, None, :, 3:6] - sat_vel), axis=-1) \
+      + x0[None, None, :, 7] + 0.05 * rng.randn(T, K, B)
+  is_rho = (np.arange(K) < 3)[None, :, None]
+  zs = np.where(is_rho, rho, rate)[..., None]
+  R_list = [np.atleast_2d(4.0)] * 3 + [np.atleast_2d(0.05**2)] * 2
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R)
+                 for R in R_list)
+
+  structure = sparsity.structure_for(spec,
+                                     jnp.asarray(LocKalman.initial_x))
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
+  zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs))
+  easp = pallas_bank.pack_bank_epochs(jnp.asarray(eas))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+
+  outs = {}
+  for mode in ('unroll', 'switch'):
+    xo, Po = pallas_bank.generic_bank_scan_epoch(
+        xp, Pp, zsp, jnp.asarray(dts), easp, spec=spec,
+        slot_kinds=slot_kinds, q_diag=q_diag, r_mats=r_mats, t_chunk=3,
+        tile_b=8, interpret=True, structure=structure, slot_mode=mode)
+    outs[mode] = pallas_bank.unpack_bank(xo, Po)
+
+  # identical math, different op grouping (per-branch regions): the only
+  # deviation allowed is f64 roundoff
+  np.testing.assert_allclose(np.asarray(outs['switch'][0]),
+                             np.asarray(outs['unroll'][0]),
+                             rtol=1e-9, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(outs['switch'][1]),
+                             np.asarray(outs['unroll'][1]),
+                             rtol=1e-9, atol=1e-9)
+
+  # auto keeps the faster flat form for GNSS-class epochs
+  flat = pallas_bank.epoch_flat_body_ops(
+      spec, slot_kinds, q_diag, r_mats, True, structure, True, True)
+  assert flat <= pallas_bank.EPOCH_UNROLL_OP_BUDGET, flat
+
+
+def test_generic_epoch_kernel_live_complexity_routes_to_switch():
+  """A live-complexity epoch (4 DISTINCT 22-dim kinds per step — the
+  all-sensors tick) exceeds the flat-unroll Mosaic budget; auto mode
+  routes it to the switch dispatch and the result matches the core/step
+  oracle. This was the round-3 documented limitation ('use run_mixed
+  there') — now any epoch schedule reaches the kernel."""
+  from rednose_tpu.models.live import LiveKalman, ObservationKind as LK
+  from rednose_tpu.ops import sparsity
+
+  spec = LiveKalman.build_spec()
+  slot_kinds = (int(LK.PHONE_GYRO), int(LK.PHONE_ACCEL),
+                int(LK.ECEF_POS), int(LK.NO_ROT))
+  K, B, T = len(slot_kinds), 8, 2
+  rng = np.random.RandomState(5)
+
+  x0 = sparsity.sample_states(spec, LiveKalman.initial_x, B, seed=6)
+  d = spec.dim_err
+  P0 = np.stack([(lambda A: A @ A.T + np.eye(d))(rng.randn(d, d) * 0.05)
+                 for _ in range(B)])
+  Q = np.asarray(LiveKalman.Q)
+  dts = np.full((T,), 0.01)
+
+  zs = np.zeros((T, K, B, 3))
+  zs[:, 0] = 0.05 * rng.randn(T, B, 3)                    # gyro
+  zs[:, 1] = np.array([0., 0., 9.81]) + 0.1 * rng.randn(T, B, 3)
+  zs[:, 2] = x0[None, :, :3] + 1.0 * rng.randn(T, B, 3)   # ecef pos
+  zs[:, 3] = 0.01 * rng.randn(T, B, 3)                    # no_rot
+  R_list = [np.diag([0.025**2] * 3), np.diag([0.5**2] * 3),
+            np.diag([25.0] * 3), np.diag([0.005**2] * 3)]
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R)
+                 for R in R_list)
+
+  structure = sparsity.structure_for(spec,
+                                     jnp.asarray(LiveKalman.initial_x))
+  q_diag = tuple(float(v) for v in np.diag(Q))
+
+  flat = pallas_bank.epoch_flat_body_ops(
+      spec, slot_kinds, q_diag, r_mats, True, structure, True, False)
+  assert flat > pallas_bank.EPOCH_UNROLL_OP_BUDGET, (
+      f"live epoch flat body is only {flat} ops — budget test is stale")
+
+  xp, Pp = pallas_bank.pack_bank(
+      jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
+  zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs))
+  xo, Po = pallas_bank.generic_bank_scan_epoch(
+      xp, Pp, zsp, jnp.asarray(dts), spec=spec, slot_kinds=slot_kinds,
+      q_diag=q_diag, r_mats=r_mats, t_chunk=2, tile_b=8, interpret=True,
+      structure=structure, slot_mode='auto')
+  xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  for i in range(B):
+    x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
+    for t in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, jnp.asarray(Q),
+                              jnp.asarray(dts[t]))
+      for k, kind in enumerate(slot_kinds):
+        x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                  jnp.asarray(zs[t, k, i]),
+                                  jnp.asarray(R_list[k]),
+                                  jnp.zeros((1,)))
+    np.testing.assert_allclose(np.asarray(xu[i]), np.asarray(x),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Pu[:, :, i]), np.asarray(P),
+                               rtol=1e-6, atol=1e-9)
