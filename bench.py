@@ -263,10 +263,50 @@ def bench_generic(path=None):
     # unrolled measurement updates per tick (4 pseudoranges + 4 rates,
     # per-lane satellite states streamed from HBM) — the reference's
     # predict_and_update_batch shape (ekf_sym.py:484-531) at kernel
-    # speed. NOTE: kernel body scales with the number of DISTINCT slot
-    # kinds x per-kind body size; live-complexity specs with many
-    # distinct kinds exceed the Mosaic op ceiling — use run_mixed there.
+    # speed. The flat body (2506 ops) fits the Mosaic budget and stays
+    # fully unrolled (slot_mode='auto').
     return bench_generic_epoch_gnss(B, T, tile_b, chain_n)
+
+  if path == "epoch_live":
+    # the live ALL-SENSORS tick: one predict + gyro+accel+cam-rot+pos
+    # per step. Four distinct 22-dim kinds blow the flat-unroll Mosaic
+    # budget (3933 ops), so slot_mode='auto' routes to the per-slot
+    # lax.switch dispatch — the config that was documented as
+    # kernel-impossible before the switch mode existed.
+    kinds = (int(K.PHONE_GYRO), int(K.PHONE_ACCEL),
+             int(K.CAMERA_ODO_ROTATION), int(K.ECEF_POS))
+    Ksl = len(kinds)
+    r_mats = tuple(tuple(tuple(float(v) for v in row)
+                         for row in LiveKalman.obs_noise[k]) for k in kinds)
+    small = 0.05 * jax.random.normal(jax.random.key(1), (T, Ksl, B, 3),
+                                     dtype=dtype)
+    zs_e = small.at[:, 3].set(zs)          # slot 3: ECEF positions
+    zsp = pallas_bank.pack_bank_epochs(zs_e)
+    st = sparsity.detect_structure(spec, LiveKalman.initial_x)
+    dts_e = jnp.full((T,), 0.01, dtype=dtype)
+
+    @jax.jit
+    def chain(xp, Pp, zsp):
+      for _ in range(chain_n):
+        xp, Pp = pallas_bank.generic_bank_scan_epoch(
+            xp, Pp, zsp, dts_e, spec=spec, slot_kinds=kinds,
+            q_diag=q_diag, r_mats=r_mats, t_chunk=32, tile_b=tile_b,
+            structure=st)
+      return jnp.sum(xp) + jnp.sum(Pp)
+
+    log(f"compiling live all-sensors epoch kernel (switch dispatch, "
+        f"{Ksl} slots/step)...")
+    best = _time_chain(chain, (xp, Pp, zsp))
+    upd_per_sec = (B * T * Ksl * chain_n) / best
+    log(f"live epoch bank B={B}: best {best*1e3:.2f} ms for {chain_n} "
+        f"chained scans -> {upd_per_sec/1e6:.2f}M updates/s "
+        f"({upd_per_sec/Ksl/1e6:.2f}M full ticks/s)")
+    return {
+        "metric": "live_epoch_kernel_update_throughput",
+        "value": round(upd_per_sec, 1),
+        "unit": "updates/sec/chip",
+        "vs_baseline": round(upd_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }
 
   if path == "mixed":
     # the hand mixed kernel's schedule (bench_live_bank path='mixed'),

@@ -234,6 +234,45 @@ def sharded_generic_bank_scan_mixed(mesh: Mesh, x_packed, P_packed,
   )(*operands)
 
 
+def sharded_generic_bank_scan_epoch(mesh: Mesh, x_packed, P_packed,
+                                    zs_packed, dts, eas_packed=None, *,
+                                    spec, slot_kinds, q_diag, r_mats,
+                                    structure=None, gate: bool = True,
+                                    t_chunk: int = 32, tile_b: int = 1024,
+                                    interpret: bool = False,
+                                    entry: bool = True,
+                                    slot_mode: str = 'auto'):
+  """Epoch-batched generic kernel (generic_bank_scan_epoch: one predict +
+  K slot updates per step, the reference's predict_and_update_batch shape)
+  sharded over the mesh: the static epoch layout is replicated, the bank
+  (and the per-lane ea stream — satellites per receiver) shards — every
+  chip runs full epochs on its own sub-bank. Zero collectives."""
+  from rednose_tpu.ops import pallas_bank
+
+  n = mesh.devices.size
+  assert x_packed.shape[-1] % n == 0, (x_packed.shape, n)
+
+  def local(xp, Pp, zsp, dts_, *easp):
+    return pallas_bank.generic_bank_scan_epoch(
+        xp, Pp, zsp, dts_, easp[0] if easp else None, spec=spec,
+        slot_kinds=slot_kinds, q_diag=q_diag, r_mats=r_mats, gate=gate,
+        t_chunk=t_chunk, tile_b=tile_b, interpret=interpret,
+        structure=structure, entry=entry, slot_mode=slot_mode)
+
+  in_specs = [P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
+              P(None, None, None, None, BANK_AXIS), P()]
+  operands = [x_packed, P_packed, zs_packed, dts]
+  if eas_packed is not None:
+    in_specs.append(P(None, None, None, None, BANK_AXIS))
+    operands.append(eas_packed)
+  return jax.shard_map(
+      local, mesh=mesh,
+      in_specs=tuple(in_specs),
+      out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
+      check_vma=False,
+  )(*operands)
+
+
 # ------------------------------------------------------- multi-slice (DCN)
 
 SLICE_AXIS = 'slice'

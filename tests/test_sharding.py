@@ -180,6 +180,66 @@ def test_sharded_mixed_generic_kernel_matches_unsharded():
   np.testing.assert_array_equal(np.asarray(Po), np.asarray(P_ref))
 
 
+def test_sharded_epoch_generic_kernel_matches_unsharded():
+  """The epoch-batched generic kernel under shard_map (replicated epoch
+  layout, sharded bank + ea stream, interpret mode) must equal the
+  unsharded epoch kernel bitwise — on the switch dispatch (the
+  live-complexity mode), so the sharded path covers both slot modes."""
+  import jax.numpy as jnp
+  import numpy as np
+
+  from rednose_tpu.models.live import ObservationKind as K
+  from rednose_tpu.models.loc import LocKalman
+  from rednose_tpu.ops import pallas_bank, sparsity
+  from rednose_tpu.parallel import sharding as shard_ops
+
+  mesh = shard_ops.make_bank_mesh()
+  spec = LocKalman.build_spec()
+  structure = sparsity.structure_for(spec, LocKalman.initial_x)
+  slot_kinds = (int(K.PSEUDORANGE_GPS), int(K.PSEUDORANGE_GPS),
+                int(K.PSEUDORANGE_RATE_GPS))
+  Ksl, B, T = len(slot_kinds), 64, 4
+  dtype = jnp.float32
+  rng = np.random.RandomState(3)
+  x = jnp.tile(jnp.asarray(LocKalman.initial_x, dtype), (B, 1))
+  P = jnp.tile(jnp.asarray(np.diag(LocKalman.initial_P_diag),
+                           dtype)[:, :, None], (1, 1, B))
+  dts = jnp.full((T,), 1.0, dtype)
+  sat_pos = LocKalman.initial_x[:3] + 2.0e7 * rng.randn(T, Ksl, B, 3)
+  sat_vel = 3e3 * rng.randn(T, Ksl, B, 3)
+  eas = jnp.asarray(np.concatenate([sat_pos, sat_vel], -1), dtype)
+  rho = np.linalg.norm(sat_pos - LocKalman.initial_x[:3], axis=-1)
+  zs = jnp.asarray(
+      np.where((np.arange(Ksl) < 2)[None, :, None], rho, 0.0)[..., None],
+      dtype)
+  q_diag = tuple(float(v) for v in np.diag(LocKalman.Q))
+  r_mats = tuple(
+      tuple(tuple(float(v) for v in row)
+            for row in np.atleast_2d(LocKalman.obs_noise[k]))
+      for k in slot_kinds)
+
+  xp, Pp = pallas_bank.pack_bank(x, P)
+  zsp = pallas_bank.pack_bank_epochs(zs)
+  easp = pallas_bank.pack_bank_epochs(eas)
+  xo, Po = shard_ops.sharded_generic_bank_scan_epoch(
+      mesh, xp, Pp, zsp, dts, easp, spec=spec, slot_kinds=slot_kinds,
+      q_diag=q_diag, r_mats=r_mats, structure=structure, t_chunk=4,
+      tile_b=8, interpret=True, slot_mode='switch')
+  assert len(xo.sharding.device_set) == mesh.devices.size
+
+  x_ref, P_ref = pallas_bank.generic_bank_scan_epoch(
+      xp, Pp, zsp, dts, easp, spec=spec, slot_kinds=slot_kinds,
+      q_diag=q_diag, r_mats=r_mats, structure=structure, t_chunk=4,
+      tile_b=8, interpret=True, slot_mode='switch')
+  # switch branches are compiled per shard width, so XLA may regroup f32
+  # ops differently sharded vs not: roundoff-level agreement (the unroll
+  # mode is bitwise; asserted in test_sharded_mixed/generic above)
+  np.testing.assert_allclose(np.asarray(xo), np.asarray(x_ref),
+                             rtol=1e-6, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(Po), np.asarray(P_ref),
+                             rtol=1e-5, atol=1e-5)
+
+
 def test_multislice_hierarchical_rmse():
   """2-D (slice, bank) mesh: sharded run + hierarchically-staged psum
   (ICI within the slice, one scalar over DCN) matches the flat-mesh and
