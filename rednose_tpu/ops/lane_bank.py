@@ -15,8 +15,9 @@ Pallas kernel does, generalized to any FilterSpec:
 
 Semantics are identical to core/step.py (same Joseph form, Mahalanobis gate,
 ESKF H_mod chain) — parity is asserted in tests/test_lane_bank.py. MSCKF
-feature kinds are not supported here (QR nullspace does not unroll cleanly);
-use runtime/bank.py for those.
+feature kinds run at bank speed too: per-lane Householder nullspace
+projection + blocked lane Cholesky (lane_update below; parity in
+tests/test_lane_msckf.py).
 """
 
 from __future__ import annotations
