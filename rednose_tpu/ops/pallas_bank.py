@@ -29,6 +29,7 @@ tests/test_pallas_bank.py, tests/test_entry_slab.py.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -262,27 +263,8 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
     x_out_ref[:] = x_in_ref[:]
     p_out_ref[:] = p_in_ref[:]
 
-  from rednose_tpu.ops.entry_slab import entry_update_slab
-
-  def _branch(i, k):
-    om = spec.obs[k]
-    dz, mea = om.dz, om.ea_len
-
-    def apply(x, P, z_full, ea_full):
-      z = z_full[:dz]
-      ea = ea_full[:mea] if mea else None
-      g = gate and om.maha_test
-      if entry:
-        x, P, _ = entry_update_slab(spec, k, {}, x, P, z, r_mats[i], g,
-                                    structure, ea=ea)
-      else:
-        x, P, _ = generic_update_slab(spec, k, {}, x, P, z, r_mats[i],
-                                      gate=g, structure=structure, ea=ea)
-      return x, P
-
-    return apply
-
-  branches = tuple(_branch(i, k) for i, k in enumerate(kinds))
+  branches = tuple(_update_branch(spec, k, r_mats[i], gate, structure,
+                                  entry) for i, k in enumerate(kinds))
 
   def body(t, carry):
     x, P = carry
@@ -329,6 +311,35 @@ def _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate, structure,
       x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mats[k],
                                     gate=g, structure=structure, ea=ea)
   return x, P
+
+
+def _update_branch(spec, kind, r_mat, gate, structure, entry):
+  """One per-kind update branch (x, P, z_row, ea_row) -> (x, P), shared by
+  the mixed kernel's lax.switch dispatch and the epoch kernel's switch
+  slot mode — one builder so the two kernels' per-kind semantics cannot
+  drift. z_row/ea_row arrive padded to the schedule's max dz/ea_len; the
+  branch slices its own leading rows. gate=True means the KIND's own
+  maha_test flag decides (reference semantics: gating is a spec property,
+  templates/ekf_c.c:88-94) — unlike the hand live kernel's gate flag,
+  which force-gates its position update."""
+  from rednose_tpu.ops.entry_slab import entry_update_slab
+
+  om = spec.obs[kind]
+  dz, mea = om.dz, om.ea_len
+
+  def apply(x, P, z_row, ea_row):
+    z = z_row[:dz]
+    ea = ea_row[:mea] if mea else None
+    g = gate and om.maha_test
+    if entry:
+      x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mat, g,
+                                  structure, ea=ea)
+    else:
+      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
+                                    gate=g, structure=structure, ea=ea)
+    return x, P
+
+  return apply
 
 
 def _num_eqns(jaxpr) -> int:
@@ -412,8 +423,7 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
     x_out_ref[:] = x_in_ref[:]
     p_out_ref[:] = p_in_ref[:]
 
-  from rednose_tpu.ops.entry_slab import entry_predict_slab, \
-      entry_update_slab
+  from rednose_tpu.ops.entry_slab import entry_predict_slab
 
   K = len(slot_kinds)
   if slot_mode == 'switch':
@@ -425,24 +435,8 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
         keys.append(key)
       branch_of_slot.append(keys.index(key))
 
-    def _branch(kind, r_mat):
-      om = spec.obs[kind]
-
-      def apply(x, P, z_row, ea_row):
-        z = z_row[:om.dz]
-        ea = ea_row[:om.ea_len] if (has_ea and om.ea_len) else None
-        g = gate and om.maha_test
-        if entry:
-          x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mat, g,
-                                      structure, ea=ea)
-        else:
-          x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
-                                        gate=g, structure=structure, ea=ea)
-        return x, P
-
-      return apply
-
-    branches = tuple(_branch(kind, r_mat) for kind, r_mat in keys)
+    branches = tuple(_update_branch(spec, kind, r_mat, gate, structure,
+                                    entry) for kind, r_mat in keys)
 
   def body(t, carry):
     x, P = carry
@@ -599,8 +593,12 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
       op count stays at one-update size), or 'auto' (default): count the
       flat body's ops exactly (epoch_flat_body_ops) and unroll only while
       it fits EPOCH_UNROLL_OP_BUDGET. This is what lets live-complexity
-      epochs (4+ distinct 22-dim kinds) compile at all while GNSS-class
-      epochs keep the faster flat form.
+      epochs (4+ distinct 22-dim kinds) compile at all while the benched
+      4+4 GNSS epoch (2506 ops) keeps the faster flat form. K-fat
+      schedules can exceed the budget too (the 7+7 GNSS epoch above is
+      4252 ops and auto-routes to switch — logged at INFO); pass
+      slot_mode='unroll' explicitly to force the flat form if your
+      compile budget allows it.
   gate=True (default) applies each kind's own maha_test flag per slot —
   one bad satellite is rejected without touching the rest of the epoch."""
   T = zs_packed.shape[0]
@@ -632,6 +630,11 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
                                    structure, entry,
                                    eas_packed is not None)
     slot_mode = 'unroll' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
+    logging.getLogger(__name__).info(
+        "generic_bank_scan_epoch auto: flat body %d ops (budget %d) -> "
+        "slot_mode=%r for %d slots / %d distinct kinds", flat_ops,
+        EPOCH_UNROLL_OP_BUDGET, slot_mode, len(slot_kinds),
+        len(set(slot_kinds)))
   kernel = functools.partial(
       _epoch_kernel, spec=spec, slot_kinds=slot_kinds, t_chunk=t_chunk,
       q_diag=q_diag, r_mats=r_mats, gate=gate, structure=structure,
@@ -706,8 +709,11 @@ def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
     zs_packed rows are padded to max(dz); eas_packed rows (required iff
     any kind takes extra args; other steps' rows are ignored) to
     max(ea_len).
-  gate=True applies each kind's own maha_test flag (kinds without it are
-  never gated)."""
+  gate=True (default) applies each kind's own maha_test flag — reference
+  semantics, gating is a spec property (ekf_c.c:88-94); kinds without the
+  flag are never gated, so this is a no-op for specs like live that set
+  no maha kinds. The hand live kernel's gate flag force-gates instead —
+  different contract."""
   T = zs_packed.shape[0]
   dx, de = spec.dim_x, spec.dim_err
   kinds = tuple(int(k) for k in kinds)

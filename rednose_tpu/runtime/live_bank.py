@@ -45,7 +45,9 @@ class LiveKalmanBank(BankFacadeBase):
     x0 = LiveKalman.initial_x if x0 is None else np.asarray(x0)
     P_diag = (LiveKalman.initial_P_diag if P_diag is None
               else np.asarray(P_diag))
-    self._x0_1d = x0 if x0.ndim == 1 else np.asarray(LiveKalman.initial_x)
+    # per-lane x0: re-seed diverged lanes from the bank's own first row
+    # (same rule as KalmanBank), not the model default
+    self._x0_1d = x0 if x0.ndim == 1 else np.asarray(x0[0])
     self._P_diag0 = P_diag
     self._quaternion_idxs = (3,)
     self.Q = jnp.asarray(LiveKalman.Q if Q is None else Q, dtype)

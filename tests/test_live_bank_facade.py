@@ -233,3 +233,22 @@ def test_diverged_detection_and_reset():
   np.testing.assert_allclose(np.asarray(bank.x)[3], LiveKalman.initial_x)
   np.testing.assert_allclose(np.asarray(bank.P)[7],
                              np.diag(LiveKalman.initial_P_diag))
+
+
+def test_reset_diverged_2d_x0_reseeds_from_banks_own_first_row():
+  """With a per-lane (B, 23) x0, reset_diverged must re-seed from the
+  bank's OWN first row (same rule as KalmanBank), not the model default —
+  regression for the facade falling back to LiveKalman.initial_x."""
+  B = 8
+  x0 = np.tile(LiveKalman.initial_x, (B, 1))
+  x0[:, 0] += 100.0 + np.arange(B)   # distinguishable from the default
+  bank = LiveKalmanBank(batch=B, x0=x0, use_pallas=False,
+                        dtype=jnp.float64)
+  x = np.asarray(bank.x).copy()
+  x[5, 3:7] = 0.0                    # collapsed quaternion -> diverged
+  bank._x = jnp.asarray(x)
+  assert int(np.sum(np.asarray(bank.diverged()))) == 1
+  assert bank.reset_diverged() == 1
+  np.testing.assert_allclose(np.asarray(bank.x)[5], x0[0])
+  assert not np.allclose(np.asarray(bank.x)[5], LiveKalman.initial_x)
+  np.testing.assert_array_equal(np.asarray(bank.x)[4], x0[4])
