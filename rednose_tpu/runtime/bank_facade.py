@@ -141,6 +141,62 @@ class BankFacadeBase:
 
   # ----------------------------------------------------------------- runs
 
+  def run_epochs(self, dts, zs, slot_kinds, R_by_slot=None,
+                 eas=None, slot_mode: str = 'auto'):
+    """T epochs, each one predict + K updates (the reference's
+    predict_and_update_batch semantics at bank-kernel speed): slot_kinds
+    is the static epoch layout (repeat a kind for several same-kind
+    measurements — e.g. 7 pseudoranges + 7 rates), zs (T, K, B, max_dz)
+    rows padded to the largest dz, eas (T, K, B, max_ea_len) iff some
+    slot kind takes extra args. Per-slot R defaults to its kind's
+    obs_noise.
+
+    Runs on the ENTRY-LEVEL generic kernels against self.spec on every
+    facade (there is no hand-derived epoch kernel): slot_mode='auto'
+    counts the flat one-epoch body's ops exactly and unrolls all K
+    updates inline while it fits the Mosaic compile budget (GNSS-class
+    epochs); K-fat or live-complexity epochs route to the per-slot
+    lax.switch dispatch whose branch regions stay at one-update size
+    (pallas_bank._epoch_kernel) — ANY epoch schedule reaches the kernel."""
+    from rednose_tpu.ops import lane_bank, pallas_bank
+
+    slot_kinds = tuple(int(k) for k in slot_kinds)
+    max_ea = max(self.spec.obs[k].ea_len for k in slot_kinds)
+    dts = np.asarray(dts, np.float64)
+    T = dts.shape[0]
+    if T == 0:
+      return self
+    if R_by_slot is None:
+      R_by_slot = [self._default_R(k) for k in slot_kinds]
+    assert len(R_by_slot) == len(slot_kinds)
+    assert (eas is None) == (max_ea == 0)
+    if self.use_pallas and T % 8 == 0:
+      t_chunk = largest_divisor(T, (32, 16, 8))   # epoch bodies are K-fat
+      tile_b = self._tile_b()
+      xp, Pp = pallas_bank.pack_bank(self._x, self._P)
+      zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs, self.dtype))
+      easp = (pallas_bank.pack_bank_epochs(jnp.asarray(eas, self.dtype))
+              if eas is not None else None)
+      r_mats = tuple(tuple(tuple(float(v) for v in row)
+                           for row in np.asarray(R)) for R in R_by_slot)
+      xp, Pp = pallas_bank.generic_bank_scan_epoch(
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
+          slot_kinds=slot_kinds, q_diag=self._q_diag, r_mats=r_mats,
+          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure,
+          slot_mode=slot_mode)
+      self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
+    else:
+      fn = lane_bank.jit_lane_epoch_bank_scan(self.spec, slot_kinds,
+                                              self.structure)
+      R_list = tuple(jnp.asarray(R, self.dtype) for R in R_by_slot)
+      self._x, self._P = fn(
+          {}, self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+          jnp.asarray(zs, self.dtype), R_list,
+          eas=None if eas is None else jnp.asarray(eas, self.dtype))
+    self.t += float(dts.sum())
+    self._ring.clear()  # bulk runs are not observation-addressable
+    return self
+
   def _tiles(self, T):
     # t_chunk >= 8: the kernel's SMEM dts stream block shape must be
     # divisible by 8 (Mosaic block-shape rule); run()/run_mixed() route

@@ -82,6 +82,29 @@ class LiveKalmanBank(BankFacadeBase):
     self.logger = logger
     self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
 
+  # spec/structure/_default_R power the shared run_epochs in
+  # BankFacadeBase (the epoch path has no hand-derived live kernel; it
+  # runs the entry-level generic kernel against the live spec — for the
+  # 4-distinct-kind all-sensors tick that auto-routes to the per-slot
+  # switch dispatch). Built lazily: the hand-kernel paths never need them.
+
+  @property
+  def spec(self):
+    return LiveKalman.build_spec()
+
+  @property
+  def structure(self):
+    from rednose_tpu.ops import sparsity
+    return sparsity.structure_for(self.spec, LiveKalman.initial_x)
+
+  def _default_R(self, kind):
+    R = LiveKalman.obs_noise.get(int(kind))
+    if R is None:
+      raise ValueError(
+          f"kind {kind} carries per-measurement noise in the reference "
+          "(no obs_noise default, live_kf.py:325-337); pass R_by_slot")
+    return R
+
   # --------------------------------------------------- per-observation API
 
   _OBS_KINDS = tuple(sorted(live_lane.LANE_KINDS))

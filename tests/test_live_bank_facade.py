@@ -252,3 +252,40 @@ def test_reset_diverged_2d_x0_reseeds_from_banks_own_first_row():
   np.testing.assert_allclose(np.asarray(bank.x)[5], x0[0])
   assert not np.allclose(np.asarray(bank.x)[5], LiveKalman.initial_x)
   np.testing.assert_array_equal(np.asarray(bank.x)[4], x0[4])
+
+
+def test_run_epochs_on_live_facade_matches_hand_path_and_generic_facade():
+  """LiveKalmanBank.run_epochs (shared BankFacadeBase implementation on
+  the entry-level generic kernels) must agree with the HAND-derived live
+  path on a single-slot position epoch — a real cross-implementation
+  parity check — and track the generic facade exactly on a heterogeneous
+  gyro+pos epoch."""
+  from rednose_tpu.runtime.generic_bank import KalmanBank
+
+  B, T = 8, 4
+  rng = np.random.RandomState(3)
+  dts = np.full((T,), 0.01)
+  zs_pos = LiveKalman.initial_x[0:3] + 5.0 * rng.randn(T, B, 3)
+
+  hand = LiveKalmanBank(batch=B, use_pallas=False, dtype=jnp.float64)
+  hand.run(dts, zs_pos)
+
+  epoch = LiveKalmanBank(batch=B, use_pallas=False, dtype=jnp.float64)
+  epoch.run_epochs(dts, zs_pos[:, None], (int(K.ECEF_POS),))
+  assert epoch.t == hand.t
+  np.testing.assert_allclose(np.asarray(epoch.x), np.asarray(hand.x),
+                             rtol=1e-9, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(epoch.P), np.asarray(hand.P),
+                             rtol=1e-7, atol=1e-12)
+
+  # heterogeneous all-sensors-style epoch: gyro + pos per tick, the two
+  # facades must be bit-identical (same base implementation, same spec)
+  zs_ep = np.stack([0.01 * rng.randn(T, B, 3), zs_pos], axis=1)
+  slots = (int(K.PHONE_GYRO), int(K.ECEF_POS))
+  live_b = LiveKalmanBank(batch=B, use_pallas=False, dtype=jnp.float64)
+  gen_b = KalmanBank(LiveKalman, batch=B, use_pallas=False,
+                     dtype=jnp.float64)
+  live_b.run_epochs(dts, zs_ep, slots)
+  gen_b.run_epochs(dts, zs_ep, slots)
+  np.testing.assert_array_equal(np.asarray(live_b.x), np.asarray(gen_b.x))
+  np.testing.assert_array_equal(np.asarray(live_b.P), np.asarray(gen_b.P))
