@@ -240,6 +240,17 @@ def bench_generic(path=None):
   tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
   t_chunk = int(os.environ.get("BENCH_T_CHUNK", 128))
   chain_n = int(os.environ.get("BENCH_CHAIN", 4))
+
+  if path == "epoch":
+    # the canonical GNSS receiver epoch: ONE predict + 8 statically-
+    # unrolled measurement updates per tick (4 pseudoranges + 4 rates,
+    # per-lane satellite states streamed from HBM) — the reference's
+    # predict_and_update_batch shape (ekf_sym.py:484-531) at kernel
+    # speed. The flat body (2506 ops) fits the Mosaic budget and stays
+    # fully unrolled (slot_mode='auto'). Hoisted above the live-bank
+    # data construction below, none of which this config uses.
+    return bench_generic_epoch_gnss(B, T, tile_b, chain_n)
+
   spec = LiveKalman.build_spec()
   structure = (sparsity.detect_structure(spec, LiveKalman.initial_x)
                if path in ("sparse", "mixed") else None)
@@ -257,15 +268,6 @@ def bench_generic(path=None):
   r_mat = tuple(tuple(float(v) for v in row) for row in np.diag([25.0] * 3))
   xp, Pp = pallas_bank.pack_bank(
       jnp.asarray(x0, dtype), jnp.asarray(P0.transpose(1, 2, 0), dtype))
-
-  if path == "epoch":
-    # the canonical GNSS receiver epoch: ONE predict + 8 statically-
-    # unrolled measurement updates per tick (4 pseudoranges + 4 rates,
-    # per-lane satellite states streamed from HBM) — the reference's
-    # predict_and_update_batch shape (ekf_sym.py:484-531) at kernel
-    # speed. The flat body (2506 ops) fits the Mosaic budget and stays
-    # fully unrolled (slot_mode='auto').
-    return bench_generic_epoch_gnss(B, T, tile_b, chain_n)
 
   if path == "epoch_live":
     # the live ALL-SENSORS tick: one predict + gyro+accel+cam-rot+pos

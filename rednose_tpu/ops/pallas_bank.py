@@ -577,9 +577,11 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   """T EPOCHS, each one predict + K statically-unrolled updates — the
   reference's predict_and_update_batch semantics (predict once at t, then
   every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
-  The canonical GNSS shape: slot_kinds = 7x(PSEUDORANGE,) + 7x(RATE,) runs
-  a full receiver epoch per step with zero dispatch overhead and one
-  F P F^T instead of fourteen.
+  The canonical GNSS shape: slot_kinds = 4x(PSEUDORANGE,) + 4x(RATE,) runs
+  a full receiver epoch per step with zero dispatch overhead (flat unroll,
+  2506 ops — under budget) and one F P F^T instead of eight; fatter
+  schedules still amortize the predict but dispatch per-slot (see
+  slot_mode below).
 
   Args vs generic_bank_scan:
     slot_kinds: static tuple of K observation-kind ids (the epoch layout;

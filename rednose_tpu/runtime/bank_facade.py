@@ -84,9 +84,12 @@ class BankFacadeBase:
     KalmanError."""
     bad = self.diverged()
     x0 = jnp.asarray(self._x0_1d if x0 is None else x0, self.dtype)
+    if x0.ndim == 1:
+      x0 = jnp.broadcast_to(x0[None, :], self._x.shape)
+    assert x0.shape == self._x.shape, x0.shape  # (B, dim_x) per-lane reseed
     P_diag = self._P_diag0 if P_diag is None else np.asarray(P_diag)
     P0 = jnp.asarray(np.diag(P_diag), self.dtype)
-    self._x = jnp.where(bad[:, None], x0[None, :], self._x)
+    self._x = jnp.where(bad[:, None], x0, self._x)
     self._P = jnp.where(bad[None, None, :], P0[:, :, None], self._P)
     # a later rewind must never replay through a pre-reset snapshot and
     # resurrect the diverged lanes
@@ -104,6 +107,16 @@ class BankFacadeBase:
     self.t = st.epoch
     self._ring.clear()  # snapshots from before the load are another timeline
     return self
+
+  def _normalize_R(self, kind, R):
+    """One R contract for every surface (observe/run/run_mixed/run_epochs):
+    scalar (dz=1), (dz,) diagonal, or full (dz, dz) -> (dz, dz) float64."""
+    dz = self.spec.obs[kind].dz
+    R = np.asarray(R, dtype=np.float64)
+    if R.ndim == 1 and dz > 1:
+      assert R.shape == (dz,), (R.shape, dz)
+      return np.diag(R)
+    return R.reshape(dz, dz)
 
   # --------------------------------------------------------------- rewind
 
@@ -169,6 +182,8 @@ class BankFacadeBase:
     if R_by_slot is None:
       R_by_slot = [self._default_R(k) for k in slot_kinds]
     assert len(R_by_slot) == len(slot_kinds)
+    R_by_slot = [self._normalize_R(k, R)
+                 for k, R in zip(slot_kinds, R_by_slot)]
     assert (eas is None) == (max_ea == 0)
     if self.use_pallas and T % 8 == 0:
       t_chunk = largest_divisor(T, (32, 16, 8))   # epoch bodies are K-fat

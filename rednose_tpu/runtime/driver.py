@@ -25,6 +25,7 @@ import numpy as np
 
 from rednose_tpu.core import step as step_ops
 from rednose_tpu.core.spec import FilterSpec
+from rednose_tpu.ops.quaternion import normalize_slices
 from rednose_tpu.runtime.rewind import REWIND_TO_KEEP, RewindRing
 
 
@@ -95,9 +96,9 @@ class FilterEngine:
 
   def normalize_quaternions(self):
     """Renormalize every quaternion block of the nominal state
-    (reference: ekf_sym.py:405-407)."""
-    for idx in self.spec.quaternion_idxs:
-      self.normalize_slice(idx, idx + 4)
+    (reference: ekf_sym.py:405-407). Delegates to the one implementation
+    of the renormalization contract (ops/quaternion.normalize_slices)."""
+    self.x = normalize_slices(self.x, self.spec.quaternion_idxs)
 
   def normalize_slice(self, slice_start, slice_end_ex):
     """Unit-normalize x[slice_start:slice_end_ex] (ekf_sym.py:409-410)."""

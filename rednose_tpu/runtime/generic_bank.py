@@ -142,6 +142,8 @@ class KalmanBank(BankFacadeBase):
           f"kind {kind} has no default noise (obs_noise); pass R=")
     return R
 
+  # _normalize_R lives in BankFacadeBase (one R contract for every surface)
+
   def observe(self, t, kind, z, R=None, ea=None):
     """Apply ONE timestamped observation to the whole bank with driver-style
     out-of-order handling (ekf_sym.py:464-482 / ekf_sym.cc:83-156): a late
@@ -158,7 +160,7 @@ class KalmanBank(BankFacadeBase):
     if z.ndim == 1:
       z = np.broadcast_to(z, (self.batch, z.shape[0]))
     assert z.shape == (self.batch, om.dz), (z.shape, om.dz)
-    R = np.asarray(R, dtype=np.float64).reshape(om.dz, om.dz)
+    R = self._normalize_R(kind, R)
     if om.ea_len:
       assert ea is not None, f"kind {kind} takes {om.ea_len} extra args"
       ea = np.asarray(ea, dtype=np.float64)
@@ -196,6 +198,7 @@ class KalmanBank(BankFacadeBase):
       return self
     if R is None:
       R = self._default_R(kind)
+    R = self._normalize_R(kind, R)  # same contract as observe()
     assert (eas is None) == (om.ea_len == 0)
     # the kernel's SMEM dts stream needs t_chunk >= 8: odd-length runs
     # take the lane path (Mosaic block-shape rule, see CLAUDE.md)
@@ -205,7 +208,7 @@ class KalmanBank(BankFacadeBase):
       zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, self.dtype))
       easp = (pallas_bank.pack_bank_measurements(
           jnp.asarray(eas, self.dtype)) if eas is not None else None)
-      r_mat = tuple(tuple(float(v) for v in row) for row in np.asarray(R))
+      r_mat = tuple(tuple(float(v) for v in row) for row in R)
       xp, Pp = pallas_bank.generic_bank_scan(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
           kind=kind, q_diag=self._q_diag, r_mat=r_mat, gate=om.maha_test,
@@ -238,6 +241,7 @@ class KalmanBank(BankFacadeBase):
       return self
     if R_by_kind is None:
       R_by_kind = {k: self._default_R(k) for k in kinds}
+    R_by_kind = {k: self._normalize_R(k, R_by_kind[k]) for k in kinds}
     assert (eas is None) == (max_ea == 0)
     if self.use_pallas and T % 8 == 0:
       t_chunk, tile_b = self._tiles(T)
@@ -246,7 +250,7 @@ class KalmanBank(BankFacadeBase):
       easp = (pallas_bank.pack_bank_measurements(
           jnp.asarray(eas, self.dtype)) if eas is not None else None)
       r_mats = tuple(tuple(tuple(float(v) for v in row)
-                           for row in np.asarray(R_by_kind[k]))
+                           for row in R_by_kind[k])
                      for k in kinds)
       xp, Pp = pallas_bank.generic_bank_scan_mixed(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype),

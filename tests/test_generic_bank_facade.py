@@ -215,3 +215,53 @@ def test_save_load_divergence_roundtrip(tmp_path):
   assert int(jnp.sum(bank2.diverged())) == 0
   np.testing.assert_array_equal(np.asarray(bank2.x)[3],
                                 KinematicKalman.initial_x)
+
+
+def test_reset_diverged_accepts_per_lane_x0():
+  """reset_diverged(x0=(B, dim_x)) re-seeds each bad lane from ITS OWN row
+  — regression for the (B, dim_x) x0 silently broadcasting self._x to
+  rank 3 (review r3)."""
+  B = 8
+  bank = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  x = np.array(bank.x)
+  x[2] = np.nan
+  x[6] = np.nan
+  bank._x = jnp.asarray(x)
+  seeds = np.arange(B * 2, dtype=np.float64).reshape(B, 2)
+  assert bank.reset_diverged(x0=seeds) == 2
+  assert bank._x.shape == (B, 2)          # no rank-3 broadcast corruption
+  np.testing.assert_array_equal(np.asarray(bank.x)[2], seeds[2])
+  np.testing.assert_array_equal(np.asarray(bank.x)[6], seeds[6])
+  np.testing.assert_array_equal(np.asarray(bank.x)[0], x[0])  # healthy kept
+
+
+def test_run_accepts_scalar_and_diag_R():
+  """The bulk run paths accept the same R shapes observe() does: a scalar
+  for dz=1 kinds and a (dz,) diagonal — regression for `for row in
+  np.asarray(R)` crashing on 0-d arrays (review r3)."""
+  B, T = 8, 4
+  rng = np.random.RandomState(7)
+  dts = np.full((T,), 0.01)
+  zs = 0.5 * rng.randn(T, B, 1)
+  R_full = np.asarray(KinematicKalman.obs_noise[KK.POSITION])
+  scalar_R = float(R_full[0, 0])
+
+  b_full = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  b_scalar = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  b_diag = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  b_full.run(dts, zs, KK.POSITION, R=R_full)
+  b_scalar.run(dts, zs, KK.POSITION, R=scalar_R)
+  b_diag.run(dts, zs, KK.POSITION, R=np.asarray([scalar_R]))
+  np.testing.assert_array_equal(np.asarray(b_full.x), np.asarray(b_scalar.x))
+  np.testing.assert_array_equal(np.asarray(b_full.x), np.asarray(b_diag.x))
+
+  # mixed + epochs take the same contract per kind/slot
+  b_mixed = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  b_mixed.run_mixed(dts, np.zeros((T,), np.int32), zs, (int(KK.POSITION),),
+                    R_by_kind={int(KK.POSITION): scalar_R})
+  np.testing.assert_array_equal(np.asarray(b_full.x), np.asarray(b_mixed.x))
+  b_ep = KalmanBank(KinematicKalman, batch=B, dtype=jnp.float64)
+  b_ep.run_epochs(dts, zs[:, None], (int(KK.POSITION),),
+                  R_by_slot=[scalar_R])
+  np.testing.assert_allclose(np.asarray(b_full.x), np.asarray(b_ep.x),
+                             rtol=1e-12, atol=1e-14)
