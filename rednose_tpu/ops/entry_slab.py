@@ -23,10 +23,12 @@ cuts that by:
   * adding dt·diag(Q) through a broadcasted-iota diagonal mask instead of
     22 per-row concatenates.
 
-Measured body op count for the unmodified live 23/22 ESKF spec
-(predict + ECEF_POS update): 2215 ops (old sparse path) -> ~1.2k, below
-the hand-derived kernel's 1.4k (ops/live_lane.py). Parity vs the
-core/step.py oracle: tests/test_entry_slab.py.
+Measured for the unmodified live 23/22 ESKF spec (predict + ECEF_POS
+update): body 2215 ops (old sparse path) -> ~1.3k, below the hand-derived
+kernel's 1.4k (ops/live_lane.py) — and 13.2k FLOP/lane-step vs the hand
+kernel's 13.7k (the compact-row C + C^T predict assembly below cuts
+predict from 5.6k to 3.8k FLOP, under the hand kernel's 4.3k). Parity vs
+the core/step.py oracle: tests/test_entry_slab.py.
 
 Everything here is Mosaic-lowerable by construction: elementwise slab ops,
 leading-dim slices/stacks, >=2D iota, no scatter, no captured array
@@ -160,19 +162,55 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
       acc = _acc(acc, _ent_mul(G[k][i], P_rows[k]))
     m_rows.append(acc)
   if m_dim == de:
-    M = _stack_rows(m_rows, zero_row)  # (de, de, *b)
-
-    # N = M G^T: column j is sum_k M[:, k] * G[j, k]
-    M_cols = {k: M[:, k] for k in structure.g_cols}
-    n_cols = []
-    for j in range(de):
-      acc = None
-      for k in structure.g_cols:
-        acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
-      n_cols.append(acc)
-    N = jnp.stack([c if c is not None else zero_row for c in n_cols],
-                  axis=1)
-    P_new = _sym(P + M + jnp.swapaxes(M, 0, 1) + N)
+    # P' = P + M + M^T + N with N = M G^T = G P G^T. M is nonzero only on
+    # the rows where G has entries (nz), and N only on (nz x nz), so work
+    # on the COMPACT (r, ...) forms (the hand kernel's trick,
+    # ops/live_lane.py M0..M2/N0..N2, done here structurally) and assemble
+    # through C = 0.5 P + M + 0.5 N: C + C^T equals the old
+    # _sym(P + M + M^T + N) exactly (P, N symmetric), so the
+    # symmetrization invariant costs nothing extra. For live this cuts
+    # predict from ~5.6k to ~4.2k FLOP/lane-step.
+    nz = [i for i in range(m_dim) if m_rows[i] is not None]
+    if not nz:
+      P_new = P
+    else:
+      M_nz = jnp.stack([m_rows[i] for i in nz])      # (r, de, *b)
+      M_cols = {k: M_nz[:, k] for k in structure.g_cols}
+      n_cols = []
+      for j in nz:  # N columns are nonzero only for j in nz
+        acc = None
+        for k in structure.g_cols:
+          acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
+        n_cols.append(acc if acc is not None else M_nz[:, 0] * 0.0)
+      N_half = 0.5 * jnp.stack(n_cols, axis=1)       # (r, r, *b)
+      H = 0.5 * P
+      # contiguous runs of nz give the column splice points
+      runs = []
+      for i in nz:
+        if runs and runs[-1][1] == i:
+          runs[-1][1] = i + 1
+        else:
+          runs.append([i, i + 1])
+      rows, p = [], 0
+      for i in range(de):
+        if m_rows[i] is None:
+          rows.append(H[i])
+          continue
+        base = H[i] + m_rows[i]
+        nrow = N_half[p]
+        p += 1
+        segs, prev, q0 = [], 0, 0
+        for s, e in runs:
+          if s > prev:
+            segs.append(base[prev:s])
+          segs.append(base[s:e] + nrow[q0:q0 + (e - s)])
+          q0 += e - s
+          prev = e
+        if prev < de:
+          segs.append(base[prev:])
+        rows.append(jnp.concatenate(segs) if len(segs) > 1 else segs[0])
+      C = jnp.stack(rows)
+      P_new = C + jnp.swapaxes(C, 0, 1)
   else:
     # block form: M is (m, de, *b) — covers both the main-block product
     # and the one-sided coupling update

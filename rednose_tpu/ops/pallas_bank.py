@@ -356,8 +356,8 @@ def _num_eqns(jaxpr) -> int:
 
 # Mosaic compile cost scales superlinearly with the per-region op count.
 # Measured anchors for FLAT epoch bodies (epoch_flat_body_ops counts):
-# the GNSS 8-slot epoch (LocKalman, 2506 ops) compiles and runs at 1.448B
-# updates/s; the live 4-distinct-kind epoch (3933 ops) OOMs the remote
+# the GNSS 8-slot epoch (LocKalman, 2578 ops) compiles and runs at 1.448B
+# updates/s; the live 4-distinct-kind epoch (4032 ops) OOMs the remote
 # compile helper. Flat bodies above this budget route to the per-slot
 # lax.switch dispatch, whose branch regions stay at one-update size.
 EPOCH_UNROLL_OP_BUDGET = 2600
@@ -579,7 +579,7 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
   The canonical GNSS shape: slot_kinds = 4x(PSEUDORANGE,) + 4x(RATE,) runs
   a full receiver epoch per step with zero dispatch overhead (flat unroll,
-  2506 ops — under budget) and one F P F^T instead of eight; fatter
+  2578 ops — under budget) and one F P F^T instead of eight; fatter
   schedules still amortize the predict but dispatch per-slot (see
   slot_mode below).
 
@@ -596,7 +596,7 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
       flat body's ops exactly (epoch_flat_body_ops) and unroll only while
       it fits EPOCH_UNROLL_OP_BUDGET. This is what lets live-complexity
       epochs (4+ distinct 22-dim kinds) compile at all while the benched
-      4+4 GNSS epoch (2506 ops) keeps the faster flat form. K-fat
+      4+4 GNSS epoch (2578 ops) keeps the faster flat form. K-fat
       schedules can exceed the budget too (the 7+7 GNSS epoch above is
       4252 ops and auto-routes to switch — logged at INFO); pass
       slot_mode='unroll' explicitly to force the flat form if your

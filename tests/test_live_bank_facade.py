@@ -254,6 +254,7 @@ def test_reset_diverged_2d_x0_reseeds_from_banks_own_first_row():
   np.testing.assert_array_equal(np.asarray(bank.x)[4], x0[4])
 
 
+@pytest.mark.slow
 def test_run_epochs_on_live_facade_matches_hand_path_and_generic_facade():
   """LiveKalmanBank.run_epochs (shared BankFacadeBase implementation on
   the entry-level generic kernels) must agree with the HAND-derived live

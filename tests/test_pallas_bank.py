@@ -243,7 +243,9 @@ def test_generic_mixed_kernel_matches_oracle(use_structure):
                              rtol=1e-6, atol=1e-8)
 
 
-@pytest.mark.parametrize("use_structure", [False, True])
+@pytest.mark.parametrize(
+    "use_structure",
+    [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_generic_epoch_kernel_gnss_matches_oracle(use_structure):
   """Epoch-batched kernel (one predict + K unrolled updates per step — the
   reference's predict_and_update_batch shape, ekf_sym.py:484-531): a GNSS
@@ -439,6 +441,7 @@ def test_generic_epoch_kernel_switch_mode_matches_unroll():
   assert flat <= pallas_bank.EPOCH_UNROLL_OP_BUDGET, flat
 
 
+@pytest.mark.slow
 def test_generic_epoch_kernel_live_complexity_routes_to_switch():
   """A live-complexity epoch (4 DISTINCT 22-dim kinds per step — the
   all-sensors tick) exceeds the flat-unroll Mosaic budget; auto mode

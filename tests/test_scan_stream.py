@@ -3,6 +3,7 @@ driver, including the R-padding trick for mixed measurement dims."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rednose_tpu.models.live import LiveKalman, ObservationKind as K
 from rednose_tpu.models.kinematic import KinematicKalman, ObservationKind as KK
@@ -77,6 +78,7 @@ def test_scan_stream_single_kind_matches_driver():
   np.testing.assert_allclose(np.asarray(P_f), kf.P, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_scan_stream_feeds_smoother():
   """Fully on-device offline pipeline: scan the log, smooth the stacked
   estimates — must match smoothing the host driver's estimate list."""

@@ -132,6 +132,7 @@ def test_sharded_fused_live_kernel_matches_unsharded():
   np.testing.assert_array_equal(np.asarray(Pu), np.asarray(P_ref))
 
 
+@pytest.mark.slow
 def test_sharded_mixed_generic_kernel_matches_unsharded():
   """The heterogeneous-kind generic kernel under shard_map (replicated
   SMEM kind stream, sharded bank, interpret mode) must equal the unsharded
@@ -180,6 +181,7 @@ def test_sharded_mixed_generic_kernel_matches_unsharded():
   np.testing.assert_array_equal(np.asarray(Po), np.asarray(P_ref))
 
 
+@pytest.mark.slow
 def test_sharded_epoch_generic_kernel_matches_unsharded():
   """The epoch-batched generic kernel under shard_map (replicated epoch
   layout, sharded bank + ea stream, interpret mode) must equal the

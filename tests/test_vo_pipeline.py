@@ -2,6 +2,7 @@
 track store -> harvest -> triangulation -> MSCKF x ESKF update."""
 
 import numpy as np
+import pytest
 
 from rednose_tpu.models.msckf_eskf import (
     DIM_AUG,
@@ -13,6 +14,7 @@ from rednose_tpu.msckf import feature_handler as fh
 from rednose_tpu.msckf.pipeline import VisualOdometryPipeline
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_reduces_uncertainty():
   """Ground-truth camera on a straight constant-velocity trajectory,
   identity attitude, static landmarks. Detections at frame f are generated
