@@ -246,7 +246,7 @@ def bench_generic(path=None):
     # unrolled measurement updates per tick (4 pseudoranges + 4 rates,
     # per-lane satellite states streamed from HBM) — the reference's
     # predict_and_update_batch shape (ekf_sym.py:484-531) at kernel
-    # speed. The flat body (2578 ops) fits the Mosaic budget and stays
+    # speed. The flat body (2477 ops) fits the Mosaic budget and stays
     # fully unrolled (slot_mode='auto'). Hoisted above the live-bank
     # data construction below, none of which this config uses.
     return bench_generic_epoch_gnss(B, T, tile_b, chain_n)
@@ -272,7 +272,7 @@ def bench_generic(path=None):
   if path == "epoch_live":
     # the live ALL-SENSORS tick: one predict + gyro+accel+cam-rot+pos
     # per step. Four distinct 22-dim kinds blow the flat-unroll Mosaic
-    # budget (4032 ops), so slot_mode='auto' routes to the per-slot
+    # budget (3879 ops), so slot_mode='auto' routes to the per-slot
     # lax.switch dispatch — the config that was documented as
     # kernel-impossible before the switch mode existed.
     kinds = (int(K.PHONE_GYRO), int(K.PHONE_ACCEL),

@@ -24,11 +24,11 @@ cuts that by:
     22 per-row concatenates.
 
 Measured for the unmodified live 23/22 ESKF spec (predict + ECEF_POS
-update): body 2215 ops (old sparse path) -> ~1.3k, below the hand-derived
-kernel's 1.4k (ops/live_lane.py) — and 13.2k FLOP/lane-step vs the hand
-kernel's 13.7k (the compact-row C + C^T predict assembly below cuts
-predict from 5.6k to 3.8k FLOP, under the hand kernel's 4.3k). Parity vs
-the core/step.py oracle: tests/test_entry_slab.py.
+update): body 2215 ops (old sparse path) -> ~1.25k, below the hand-derived
+kernel's 1.38k (ops/live_lane.py) — and 8.8k FLOP/lane-step vs 15.0k
+before the compact-row predict assembly (V + V^T, below) and the factored
+Joseph downdate (live_lane.joseph_sym). Parity vs the core/step.py
+oracle: tests/test_entry_slab.py.
 
 Everything here is Mosaic-lowerable by construction: elementwise slab ops,
 leading-dim slices/stacks, >=2D iota, no scatter, no captured array
@@ -46,7 +46,7 @@ import numpy as np
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops import structural
 from rednose_tpu.ops.lane_bank import _inv_small
-from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym
+from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym, joseph_sym
 
 Array = Any
 
@@ -148,7 +148,6 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
   assert all(k < m_dim for k in structure.g_cols), (
       "MSCKF structure must confine G to the main block", structure.g_cols)
 
-  zero_row = P[0] * 0.0  # (de, *b)
   # hoist row slices out of the accumulation loops: a slice re-evaluated
   # inside the double loop emits a fresh slice+squeeze op pair per use
   # (measured ~1k ops of pure slicing before hoisting)
@@ -161,79 +160,62 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
     for k in structure.g_cols:
       acc = _acc(acc, _ent_mul(G[k][i], P_rows[k]))
     m_rows.append(acc)
-  if m_dim == de:
-    # P' = P + M + M^T + N with N = M G^T = G P G^T. M is nonzero only on
-    # the rows where G has entries (nz), and N only on (nz x nz), so work
-    # on the COMPACT (r, ...) forms (the hand kernel's trick,
-    # ops/live_lane.py M0..M2/N0..N2, done here structurally) and assemble
-    # through C = 0.5 P + M + 0.5 N: C + C^T equals the old
-    # _sym(P + M + M^T + N) exactly (P, N symmetric), so the
-    # symmetrization invariant costs nothing extra. For live this cuts
-    # predict from ~5.6k to ~4.2k FLOP/lane-step.
-    nz = [i for i in range(m_dim) if m_rows[i] is not None]
-    if not nz:
-      P_new = P
-    else:
-      M_nz = jnp.stack([m_rows[i] for i in nz])      # (r, de, *b)
-      M_cols = {k: M_nz[:, k] for k in structure.g_cols}
-      n_cols = []
-      for j in nz:  # N columns are nonzero only for j in nz
-        acc = None
-        for k in structure.g_cols:
-          acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
-        n_cols.append(acc if acc is not None else M_nz[:, 0] * 0.0)
-      N_half = 0.5 * jnp.stack(n_cols, axis=1)       # (r, r, *b)
-      H = 0.5 * P
-      # contiguous runs of nz give the column splice points
-      runs = []
-      for i in nz:
-        if runs and runs[-1][1] == i:
-          runs[-1][1] = i + 1
-        else:
-          runs.append([i, i + 1])
-      rows, p = [], 0
-      for i in range(de):
-        if m_rows[i] is None:
-          rows.append(H[i])
-          continue
-        base = H[i] + m_rows[i]
-        nrow = N_half[p]
-        p += 1
-        segs, prev, q0 = [], 0, 0
-        for s, e in runs:
-          if s > prev:
-            segs.append(base[prev:s])
-          segs.append(base[s:e] + nrow[q0:q0 + (e - s)])
-          q0 += e - s
-          prev = e
-        if prev < de:
-          segs.append(base[prev:])
-        rows.append(jnp.concatenate(segs) if len(segs) > 1 else segs[0])
-      C = jnp.stack(rows)
-      P_new = C + jnp.swapaxes(C, 0, 1)
+  # P' = P + M + M^T + N with N = M G^T = G P G^T. M is nonzero only on
+  # the rows where G has entries (nz), and N only on (nz x nz), so work
+  # on the COMPACT (r, ...) forms (the hand kernel's trick,
+  # ops/live_lane.py M0..M2/N0..N2, done here structurally) and assemble
+  # through V = M + 0.5 N, P' = P + (V + V^T): equals the old
+  # _sym(P + M + M^T + N) exactly (P, N symmetric), so the symmetrization
+  # invariant costs nothing extra. For live this cuts predict from ~5.6k
+  # to ~3.1k FLOP/lane-step. The MSCKF block form (ekf_c.c:17-29) needs
+  # no separate branch: rows outside the main block have no M row, so
+  # V + V^T reproduces the one-sided coupling update and leaves the
+  # clone block untouched automatically.
+  nz = [i for i in range(m_dim) if m_rows[i] is not None]
+  if not nz:
+    P_new = P
   else:
-    # block form: M is (m, de, *b) — covers both the main-block product
-    # and the one-sided coupling update
-    M = _stack_rows(m_rows, zero_row)  # (m, de, *b)
-    M_cols = {k: M[:, k] for k in structure.g_cols}
+    M_nz = jnp.stack([m_rows[i] for i in nz])      # (r, de, *b)
+    M_cols = {k: M_nz[:, k] for k in structure.g_cols}
     n_cols = []
-    for j in range(m_dim):
+    for j in nz:  # N columns are nonzero only for j in nz
       acc = None
       for k in structure.g_cols:
         acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
-      n_cols.append(acc)
-    zcol = M[:, 0] * 0.0
-    N = jnp.stack([c if c is not None else zcol for c in n_cols],
-                  axis=1)  # (m, m, *b)
-    TL = P[:m_dim, :m_dim] + M[:, :m_dim] \
-        + jnp.swapaxes(M[:, :m_dim], 0, 1) + N
-    TR = P[:m_dim, m_dim:] + M[:, m_dim:]
-    P_new = jnp.concatenate([
-        jnp.concatenate([TL, TR], axis=1),
-        jnp.concatenate([jnp.swapaxes(TR, 0, 1), P[m_dim:, m_dim:]],
-                        axis=1),
-    ])
-    P_new = _sym(P_new)
+      n_cols.append(acc if acc is not None else M_nz[:, 0] * 0.0)
+    N_half = 0.5 * jnp.stack(n_cols, axis=1)       # (r, r, *b)
+    # V = M + 0.5 N (N spliced into M's nz columns); P' = P + (V + V^T).
+    # V + V^T is bitwise symmetric whatever V holds (float add commutes),
+    # and adding it to the bitwise-symmetric P preserves exact symmetry —
+    # no 0.5 P pass, no sym pass. Contiguous runs of nz give the column
+    # splice points.
+    runs = []
+    for i in nz:
+      if runs and runs[-1][1] == i:
+        runs[-1][1] = i + 1
+      else:
+        runs.append([i, i + 1])
+    zero_vrow = P[0] * 0.0  # (de, *b), derived from an input (Mosaic rule)
+    rows, p = [], 0
+    for i in range(de):
+      if i >= m_dim or m_rows[i] is None:
+        rows.append(zero_vrow)
+        continue
+      base = m_rows[i]
+      nrow = N_half[p]
+      p += 1
+      segs, prev, q0 = [], 0, 0
+      for s, e in runs:
+        if s > prev:
+          segs.append(base[prev:s])
+        segs.append(base[s:e] + nrow[q0:q0 + (e - s)])
+        q0 += e - s
+        prev = e
+      if prev < de:
+        segs.append(base[prev:])
+      rows.append(jnp.concatenate(segs) if len(segs) > 1 else segs[0])
+    V = jnp.stack(rows)
+    P_new = P + (V + jnp.swapaxes(V, 0, 1))
   P_new = _add_diag_iota(P_new, dt, q_diag)
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new
 
@@ -329,9 +311,7 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
     K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
   dx = sum(K[:, i] * y[i][None] for i in range(dz))
 
-  KHP = _mm_l(K, HP, dz)
-  KSK = _mm_rt(_mm_l(K, S, dz), K, dz)
-  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
+  P_new = joseph_sym(P, K, HP, S, dz)
 
   # error injection through the interpreter (dx is a plain traced slab —
   # nothing folds, but the emission is scalarized and memo-shared with h)
@@ -445,9 +425,7 @@ def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
     K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
   dx = sum(K[:, i] * yp[i][None] for i in range(dzp))
 
-  KHP = _mm_l(K, HP, dzp)
-  KSK = _mm_rt(_mm_l(K, S, dzp), K, dzp)
-  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
+  P_new = joseph_sym(P, K, HP, S, dzp)
 
   ldx = _sds((de,), dtype)
   x_obj = structural.run_primal(

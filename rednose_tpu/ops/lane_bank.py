@@ -385,9 +385,12 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
       dist = sum(y[i] * sy[i, 0] for i in range(dzp))
       K = jnp.where(dist[None, None, :] > om.maha_thresh, 0.0, K)
     dx = sum(K[:, i, :] * y[i][None, :] for i in range(dzp))
-    KHP = _matmul_ll(K, HP)
-    P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1)
-                 + _matmul_lt(_matmul_ll(K, S), K))
+    # factored P + (W + W^T) assembly of the symmetrized Joseph downdate,
+    # W = K (0.5 S K^T - HP) — exact algebra, exactly symmetric (float add
+    # commutes), one (de, de) product instead of two (live_lane.joseph_sym)
+    T_ = 0.5 * _matmul_ll(S, jnp.swapaxes(K, 0, 1)) - HP
+    W = _matmul_ll(K, T_)
+    P_new = P + (W + jnp.swapaxes(W, 0, 1))
     x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
     x_new = jax.vmap(
         lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)
@@ -446,11 +449,12 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
     I_KH = jnp.eye(de, dtype=P.dtype)[:, :, None] - _matmul_ll(K, H)
     P_new = _matmul_lt(_matmul_ll(I_KH, P), I_KH) + \
         _matmul_lt(_matmul_ll(K, R), K)
+    P_new = _sym(P_new)
   else:
-    KHP = _matmul_ll(K, HP)  # (de, de, B)
-    KSK = _matmul_lt(_matmul_ll(K, S), K)
-    P_new = P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK
-  P_new = _sym(P_new)
+    # factored P + (W + W^T) Joseph downdate (live_lane.joseph_sym)
+    T_ = 0.5 * _matmul_ll(S, jnp.swapaxes(K, 0, 1)) - HP
+    W = _matmul_ll(K, T_)
+    P_new = P + (W + jnp.swapaxes(W, 0, 1))
 
   x_new = jax.vmap(lambda xx, d: spec.err(params, xx, d))(x, dx.T)
   x_new = jax.vmap(lambda xx: normalize_slices(xx, spec.quaternion_idxs))(x_new)

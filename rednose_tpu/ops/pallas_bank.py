@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops.lane_bank import _inv_small
-from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym
+from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym, joseph_sym
 from rednose_tpu.ops.sparsity import composed_h_jvp, f_columns, fpf_masked
 from rednose_tpu.ops.unroll import unroll_dots
 
@@ -170,9 +170,7 @@ def generic_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
     K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
   dx = sum(K[:, i] * y[i][None] for i in range(dz))
 
-  KHP = _mm_l(K, HP, dz)
-  KSK = _mm_rt(_mm_l(K, S, dz), K, dz)
-  P_new = _sym(P - KHP - jnp.swapaxes(KHP, 0, 1) + KSK)
+  P_new = joseph_sym(P, K, HP, S, dz)
   x_new = _vt2(unroll_dots(lambda xx, dd: spec.err(params, xx, dd)))(x, dx)
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, y
 
@@ -356,8 +354,8 @@ def _num_eqns(jaxpr) -> int:
 
 # Mosaic compile cost scales superlinearly with the per-region op count.
 # Measured anchors for FLAT epoch bodies (epoch_flat_body_ops counts):
-# the GNSS 8-slot epoch (LocKalman, 2578 ops) compiles and runs at 1.448B
-# updates/s; the live 4-distinct-kind epoch (4032 ops) OOMs the remote
+# the GNSS 8-slot epoch (LocKalman, 2477 ops) compiles and runs at 1.448B
+# updates/s; the live 4-distinct-kind epoch (3879 ops) OOMs the remote
 # compile helper. Flat bodies above this budget route to the per-slot
 # lax.switch dispatch, whose branch regions stay at one-update size.
 EPOCH_UNROLL_OP_BUDGET = 2600
@@ -579,7 +577,7 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
   The canonical GNSS shape: slot_kinds = 4x(PSEUDORANGE,) + 4x(RATE,) runs
   a full receiver epoch per step with zero dispatch overhead (flat unroll,
-  2578 ops — under budget) and one F P F^T instead of eight; fatter
+  2477 ops — under budget) and one F P F^T instead of eight; fatter
   schedules still amortize the predict but dispatch per-slot (see
   slot_mode below).
 
@@ -596,7 +594,7 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
       flat body's ops exactly (epoch_flat_body_ops) and unroll only while
       it fits EPOCH_UNROLL_OP_BUDGET. This is what lets live-complexity
       epochs (4+ distinct 22-dim kinds) compile at all while the benched
-      4+4 GNSS epoch (2578 ops) keeps the faster flat form. K-fat
+      4+4 GNSS epoch (2477 ops) keeps the faster flat form. K-fat
       schedules can exceed the budget too (the 7+7 GNSS epoch above is
       4252 ops and auto-routes to switch — logged at INFO); pass
       slot_mode='unroll' explicitly to force the flat form if your
