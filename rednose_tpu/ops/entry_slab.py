@@ -46,7 +46,7 @@ import numpy as np
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops import structural
 from rednose_tpu.ops.lane_bank import _inv_small
-from rednose_tpu.ops.live_lane import _mm_l, _mm_rt, _sym, joseph_sym
+from rednose_tpu.ops.live_lane import _mm_l, _sym, joseph_sym
 
 Array = Any
 
