@@ -611,9 +611,11 @@ def main():
       ("live_mixed", lambda: bench_live_bank(path="mixed")),
       ("rts", bench_rts),
       ("vo_lane", lambda: bench_vo(path="lane")),
+      ("vo_kernel", lambda: bench_vo(path="kernel")),
       ("generic_entry", lambda: bench_generic(path="sparse")),
       ("generic_mixed", lambda: bench_generic(path="mixed")),
       ("generic_epoch", lambda: bench_generic(path="epoch")),
+      ("epoch_live", lambda: bench_generic(path="epoch_live")),
   )
   skip = set(os.environ.get("BENCH_SKIP", "").split(",")) - {""}
   for name, fn in sweep:

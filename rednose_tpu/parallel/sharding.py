@@ -102,10 +102,14 @@ def sharded_bank_rmse(mesh: Mesh, state: bank_ops.BankState,
 
 
 @functools.lru_cache(maxsize=None)
-def jit_sharded_step(spec: FilterSpec, kind: int, mesh: Mesh):
+def jit_sharded_step(spec: FilterSpec, kind: int, mesh: Mesh,
+                     sharding: NamedSharding | None = None):
   """One fused bank predict+update step, jitted with bank-axis shardings —
-  the 'training step' equivalent used by the multichip dry run."""
-  sh = bank_sharding(mesh)
+  the 'training step' equivalent used by the multichip dry run. Pass
+  `sharding` to override the bank placement (e.g. multislice_sharding for
+  a 2-D (slice, bank) mesh: the step then executes across BOTH the ICI
+  and DCN axes with zero collectives)."""
+  sh = sharding if sharding is not None else bank_sharding(mesh)
   repl = NamedSharding(mesh, P())
 
   def step(params, state, Q, dt, z, R, ea):
@@ -116,17 +120,14 @@ def jit_sharded_step(spec: FilterSpec, kind: int, mesh: Mesh):
       step,
       in_shardings=(repl,  # params
                     sh,    # BankState: every leaf sharded on the bank axis
-                    repl, repl,
-                    NamedSharding(mesh, P(BANK_AXIS)),
-                    NamedSharding(mesh, P(BANK_AXIS)),
-                    NamedSharding(mesh, P(BANK_AXIS))),
-      out_shardings=(sh, NamedSharding(mesh, P(BANK_AXIS))))
+                    repl, repl, sh, sh, sh),
+      out_shardings=(sh, sh))
 
 
 def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
                            *, q_diag, r_mat, gate: bool = False,
                            t_chunk: int = 128, tile_b: int = 1024,
-                           interpret: bool = False):
+                           interpret: bool = False, axis=BANK_AXIS):
   """Fused live Pallas kernel (ops/pallas_live.py) sharded over the mesh:
   shard_map splits the packed bank on its folded sub-bank axis, every chip
   runs the identical VMEM-resident kernel on its shard, zero collectives —
@@ -136,6 +137,10 @@ def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
   pack_measurements); the sub-bank dim (last axis, B/8) must divide by the
   mesh size, and the PER-SHARD bank must still satisfy the kernel's tile_b
   divisibility (pass tile_b <= B/n_devices).
+
+  `axis` is the mesh axis (or tuple of axes) the sub-bank dim folds over:
+  BANK_AXIS on the 1-D mesh, (SLICE_AXIS, BANK_AXIS) on a multislice mesh —
+  the kernel is identical either way, and no collective ever touches DCN.
   """
   from rednose_tpu.ops import pallas_live
 
@@ -152,9 +157,9 @@ def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
   # annotation, which jax's vma checker would otherwise require
   return jax.shard_map(
       local, mesh=mesh,
-      in_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
-                P(None, None, None, BANK_AXIS), P()),
-      out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
+      in_specs=(P(None, None, axis), P(None, None, None, axis),
+                P(None, None, None, axis), P()),
+      out_specs=(P(None, None, axis), P(None, None, None, axis)),
       check_vma=False,
   )(x_packed, P_packed, zs_packed, dts)
 

@@ -143,6 +143,30 @@ def test_cost_report():
   assert rep.get('flops', 0) > 0
 
 
+def test_jaxpr_flops_counter():
+  """jaxpr_flops counts arithmetic by output size (a (22,22) mul is 484
+  FLOPs), 2*out*K for dot_general, and multiplies scan bodies by their trip
+  count — the auditable counting rule behind PARITY.md's roofline lines."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.utils.profiling import jaxpr_flops
+
+  # elementwise: (4,5) mul + add = 2 * 20
+  assert jaxpr_flops(lambda a, b: a * b + b,
+                     jnp.zeros((4, 5)), jnp.ones((4, 5))) == 40
+  # dot_general: (3,4) @ (4,2) = 2 * (3*2) * 4 = 48
+  assert jaxpr_flops(lambda a, b: a @ b,
+                     jnp.zeros((3, 4)), jnp.zeros((4, 2))) == 48
+  # scan multiplies the body count by the trip count
+  def scanned(x):
+    return jax.lax.scan(lambda c, _: (c * 2.0 + 1.0, None), x,
+                        None, length=7)[0]
+  assert jaxpr_flops(scanned, jnp.zeros((5,))) == 7 * 2 * 5
+  # data movement is free
+  assert jaxpr_flops(lambda a: a.T.reshape(-1), jnp.zeros((4, 5))) == 0
+
+
 def test_normalize_quaternions():
   """normalize_quaternions / normalize_slice (reference ekf_sym.py:405-410):
   every quaternion block renormalized to unit length, rest untouched."""

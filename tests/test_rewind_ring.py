@@ -60,7 +60,14 @@ def test_errors(impl):
 
 def test_native_matches_python_randomized():
   if not rw.HAVE_NATIVE:
-    pytest.skip('native extension not built')
+    # conftest builds the extension in-place; reaching here without it means
+    # the build was explicitly opted out — anything else must fail loudly
+    # (round-3 verdict: the one native component must not degrade silently).
+    import os
+    if os.environ.get('REDNOSE_ALLOW_NO_NATIVE') == '1':
+      pytest.skip('native extension opted out via REDNOSE_ALLOW_NO_NATIVE')
+    pytest.fail('native _rewind extension not built (conftest should have '
+                'built it in-place)')
   rng = np.random.default_rng(0)
   native, py = rw.NativeRewindRing(32), rw.PyRewindRing(32)
   t = 0.0
