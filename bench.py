@@ -526,6 +526,82 @@ def bench_vo(path=None):
   }
 
 
+def bench_vo_eskf():
+  """The ESKFxMSCKF composition (models/msckf_eskf: 41/36 quaternion error
+  state + full-pose clone window — the reference's joint msckf_params +
+  eskf_params path, ekf_sym.py:57-66) at production bank scale through
+  the VMEM-resident VO kernel (BENCH_MODEL=vo_eskf). The flat frame body
+  is past the Mosaic op budget, so the kernel runs the 3-phase lax.switch
+  dispatch (ops/pallas_bank._vo_kernel phase_mode='switch')."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.msckf_eskf import (
+      MSCKFEskf,
+      ObservationKind as EK,
+  )
+  from rednose_tpu.ops import pallas_bank, sparsity
+
+  spec = MSCKFEskf.build_spec()
+  kind = int(EK.MSCKF_FEATURE)
+  om = spec.obs[kind]
+  B = int(os.environ.get("BENCH_BANK", 4096))
+  T = int(os.environ.get("BENCH_STEPS", 64))
+  chain_n = int(os.environ.get("BENCH_CHAIN", 4))
+  t_chunk = int(os.environ.get("BENCH_T_CHUNK", 8))
+  tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
+  dtype = jnp.float32
+  rng = np.random.RandomState(0)
+
+  st = sparsity.detect_structure(spec, MSCKFEskf.initial_x)
+  q_diag = tuple(float(v) for v in np.diag(MSCKFEskf.Q))
+  r_mat = tuple(tuple(0.01**2 if i == j else 0.0 for j in range(om.dz))
+                for i in range(om.dz))
+
+  x0 = np.asarray(MSCKFEskf.initial_x, np.float64)
+  xs = np.tile(x0, (B, 1)) + 0.02 * rng.randn(B, spec.dim_x)
+  for a in range(spec.n_augment):
+    o = spec.dim_main + spec.dim_augment * a
+    xs[:, o:o + 3] += 0.5 * rng.randn(3)[None]
+  for idx in spec.quaternion_idxs:
+    q = xs[:, idx:idx + 4]
+    xs[:, idx:idx + 4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+  P = jnp.asarray(np.tile((0.1 * np.eye(spec.dim_err))[..., None],
+                          (1, 1, B)), dtype)
+  eas = np.array([1.0, 0.5, 6.0])[None, None] + 0.1 * rng.randn(T, B, 3)
+  z0 = np.asarray(om.h({}, jnp.asarray(x0), jnp.asarray([1.0, 0.5, 6.0])))
+  zs = z0[None, None] + 0.005 * rng.randn(T, B, om.dz)
+  dts = jnp.full((T,), 0.05, dtype)
+
+  xp, Pp = pallas_bank.pack_bank(jnp.asarray(xs, dtype), P)
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, dtype))
+  easp = pallas_bank.pack_bank_measurements(jnp.asarray(eas, dtype))
+
+  @jax.jit
+  def chain(xp, Pp, zsp, easp):
+    s = jnp.asarray(0.0, dtype)
+    for i in range(chain_n):
+      xo, Po = pallas_bank.vo_bank_scan(
+          xp + 1e-6 * i, Pp, zsp, easp, dts, spec=spec, kind=kind,
+          q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=t_chunk,
+          tile_b=tile_b, structure=st)
+      s = s + jnp.sum(xo) + jnp.sum(Po)
+    return s
+
+  log("compiling ESKFxMSCKF VO kernel (3-phase switch; first compile is "
+      "minutes-scale)...")
+  best = _time_chain(chain, (xp, Pp, zsp, easp))
+  frames_per_sec = (B * T * chain_n) / best
+  log(f"ESKFxMSCKF composition kernel B={B}: best {best*1e3:.2f} ms for "
+      f"{chain_n} chained scans -> {frames_per_sec/1e6:.2f}M frames/s")
+  return {
+      "metric": "msckf_eskf_composition_bank_frame_throughput_kernel",
+      "value": round(frames_per_sec, 1),
+      "unit": "frames/sec/chip",
+      "vs_baseline": round(frames_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }
+
+
 def bench_kinematic():
   """North-star config: 16k-wide kinematic EKF bank with Mahalanobis
   gating, fused Pallas scan kernel (BASELINE.json "configs" item 3)."""
@@ -593,6 +669,9 @@ def main():
   if model == "vo":
     print(json.dumps(bench_vo()))
     return
+  if model == "vo_eskf":
+    print(json.dumps(bench_vo_eskf()))
+    return
   if model == "kinematic":
     print(json.dumps(bench_kinematic()))
     return
@@ -612,6 +691,7 @@ def main():
       ("rts", bench_rts),
       ("vo_lane", lambda: bench_vo(path="lane")),
       ("vo_kernel", lambda: bench_vo(path="kernel")),
+      ("vo_eskf_kernel", bench_vo_eskf),
       ("generic_entry", lambda: bench_generic(path="sparse")),
       ("generic_mixed", lambda: bench_generic(path="mixed")),
       ("generic_epoch", lambda: bench_generic(path="epoch")),

@@ -322,21 +322,18 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, y
 
 
-def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
-                              z, r_mat, gate: bool, ea, structure=None):
-  """MSCKF feature-track update on slab state, kernel-lowerable: entry
-  taps for the composed H (w.r.t. the error state, dense columns — the
-  feature h touches the whole clone window) and He (w.r.t. the feature
-  position), then the unrolled Householder projection onto null(He^T) and
-  a lane Cholesky solve at the projected dimension — templates/ekf_c.c's
-  feature path (66-77) inside the same hot kernel as everything else.
-
-  x (dim_x, *b), P (de, de, *b), z (dz, *b), ea (ea_len, *b) per-lane
-  feature positions, r_mat static nested tuple. Returns (x, P, y) with y
-  the PROJECTED innovation (basis differs from core/step's QR-complete
-  basis by a rotation; x/P parity is exact — see ops/lane_bank)."""
-  from rednose_tpu.ops.lane_bank import (
-      _apply_qt, _householder_qt, cho_solve_lane, cholesky_lane)
+def entry_feature_innovation_slab(spec: FilterSpec, kind: int, params, x,
+                                  P, z, r_mat, ea, structure=None):
+  """First half of the MSCKF feature update: entry taps for the composed H
+  (w.r.t. the error state) and He (w.r.t. the feature position), the
+  unrolled Householder projection onto null(He^T), and the projected
+  innovation quantities. Returns (yp (dz', *b), HP (dz', de, *b),
+  S (dz', dz', *b)) — everything entry_feature_apply_slab needs to finish
+  the update. Split out so the VO kernel can put each half in its own
+  Mosaic region (lax.switch phase dispatch, ops/pallas_bank._vo_kernel):
+  the flat 36-dim composition body is ~4.4k jaxpr ops, past the compile
+  budget, while each half stays under it."""
+  from rednose_tpu.ops.lane_bank import _apply_qt, _householder_qt
 
   om = spec.obs[kind]
   assert om.is_feature
@@ -416,6 +413,25 @@ def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
     T1 = _apply_qt(refl, Rb)
     Rp = _apply_qt(refl, jnp.swapaxes(T1, 0, 1))[me:, me:]
     S = S_hp + _sym(Rp)
+  return yp, HP, S
+
+
+def entry_feature_apply_slab(spec: FilterSpec, kind: int, params, x, P,
+                             yp, HP, S, gate: bool):
+  """Second half of the MSCKF feature update: lane Cholesky solve at the
+  projected dimension, Mahalanobis zero-gain gate, factored Joseph
+  downdate, and error injection. Consumes
+  entry_feature_innovation_slab's (yp, HP, S); returns (x, P, yp)."""
+  from rednose_tpu.ops.lane_bank import cho_solve_lane, cholesky_lane
+
+  om = spec.obs[kind]
+  de = spec.dim_err
+  dzp = om.dz - om.ea_dim
+  dtype = x.dtype
+  zero = x[0] * 0.0
+  interp = structural._Interp(zero)
+  lx = _sds((spec.dim_x,), dtype)
+
   L = cholesky_lane(S)
   Kt = cho_solve_lane(L, HP)                         # S^{-1} H P = K^T
   K = jnp.swapaxes(Kt, 0, 1)                         # (de, dz', *b)
@@ -432,6 +448,23 @@ def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
       lambda xx, dd: spec.err(params, xx, dd), (lx, ldx), (x, dx), interp)
   x_new = interp.materialize(x_obj[0])
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, yp
+
+
+def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
+                              z, r_mat, gate: bool, ea, structure=None):
+  """MSCKF feature-track update on slab state, kernel-lowerable:
+  innovation half (taps + Householder projection) then apply half
+  (Cholesky solve + Joseph + error injection) — templates/ekf_c.c's
+  feature path (66-77) inside the same hot kernel as everything else.
+
+  x (dim_x, *b), P (de, de, *b), z (dz, *b), ea (ea_len, *b) per-lane
+  feature positions, r_mat static nested tuple. Returns (x, P, y) with y
+  the PROJECTED innovation (basis differs from core/step's QR-complete
+  basis by a rotation; x/P parity is exact — see ops/lane_bank)."""
+  yp, HP, S = entry_feature_innovation_slab(spec, kind, params, x, P, z,
+                                            r_mat, ea, structure=structure)
+  return entry_feature_apply_slab(spec, kind, params, x, P, yp, HP, S,
+                                  gate)
 
 
 def entry_step_slab(spec: FilterSpec, kind: int, params, x, P, z, q_diag,
@@ -452,3 +485,34 @@ def entry_vo_frame_slab(spec: FilterSpec, kind: int, params, x, P, z, ea,
   x, P, _ = entry_feature_update_slab(spec, kind, params, x, P, z, r_mat,
                                       gate, ea, structure=structure)
   return augment_slab(spec, x, P)
+
+
+def entry_vo_frame_branches(spec: FilterSpec, kind: int, params, q_diag,
+                            r_mat, structure, gate: bool):
+  """The VO frame as THREE lax.switch phase branches with one shared
+  signature — (x, P, yp, HP, S, z, ea, dt) -> (x, P, yp, HP, S) — so the
+  VO kernel can run one frame as fori_loop(0, 3) over a phase switch and
+  Mosaic compiles each phase as its own region. The flat composition body
+  (models/msckf_eskf: 36-dim error state, 4.4k jaxpr ops) is past the
+  Mosaic compile budget; the largest phase here (~2.5k) matches the
+  proven GNSS flat-epoch size. Semantics are exactly
+  entry_vo_frame_slab's (parity: tests/test_entry_slab.py)."""
+  from rednose_tpu.ops.lane_bank import augment_slab
+
+  def predict_phase(x, P, yp, HP, S, z, ea, dt):
+    x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
+    return x, P, yp, HP, S
+
+  def innovation_phase(x, P, yp, HP, S, z, ea, dt):
+    yp, HP, S = entry_feature_innovation_slab(spec, kind, params, x, P, z,
+                                              r_mat, ea,
+                                              structure=structure)
+    return x, P, yp, HP, S
+
+  def apply_phase(x, P, yp, HP, S, z, ea, dt):
+    x, P, _ = entry_feature_apply_slab(spec, kind, params, x, P, yp, HP,
+                                       S, gate)
+    x, P = augment_slab(spec, x, P)
+    return x, P, yp, HP, S
+
+  return (predict_phase, innovation_phase, apply_phase)

@@ -230,6 +230,16 @@ def lane_predict(spec: FilterSpec, params, x, P, Q, dt, structure=None):
   detected `structure` (ops/sparsity.SpecStructure) the F P F^T products
   unroll only F's structurally nonzero entries — the automated analog of
   the hand-derived live fast path (ops/live_lane.py)."""
+  with jax.default_matmul_precision('float32'):
+    return _lane_predict(spec, params, x, P, Q, dt, structure)
+
+
+def _lane_predict(spec, params, x, P, Q, dt, structure):
+  # small `@`s in user model code (quat products, rotations) and inside
+  # jacfwd otherwise run bf16 on TPU — covariance-corrupting (CLAUDE.md);
+  # the Pallas kernels scalarize them via unroll_dots, so without this
+  # guard the lane and kernel paths DIVERGE on TPU (seen at ~2e-2 on the
+  # ESKFxMSCKF composition over 32 frames)
   x_new = jax.vmap(lambda xx: spec.f(params, xx, dt))(x)
   m = spec.dim_main_err
   if m < spec.dim_err:
@@ -337,6 +347,11 @@ def lane_update(spec: FilterSpec, kind: int, params, x, P, z, R,
   P - K(HP) - (HP)^T K^T + K S K^T, cutting the two dense de^3 products to
   de^2 dz (see ops/live_lane.py for the algebra).
   """
+  with jax.default_matmul_precision('float32'):  # see _lane_predict note
+    return _lane_update(spec, kind, params, x, P, z, R, structure, ea)
+
+
+def _lane_update(spec, kind, params, x, P, z, R, structure, ea):
   om = spec.obs[kind]
   dz, de = om.dz, spec.dim_err
   ea0 = jnp.zeros((max(om.ea_len, 1),), dtype=x.dtype)
@@ -492,7 +507,7 @@ def lane_augment(spec: FilterSpec, x, P):
 
 
 def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
-                   R, structure=None, eas=None):
+                   R, structure=None, eas=None, ps_keys=(), pss=None):
   """Scan T fused predict+update steps over the lane-major bank.
 
   Args: x (B, dim_x), P (dim_err, dim_err, B), dts (T,), zs (T, B, dz),
@@ -500,39 +515,54 @@ def lane_bank_scan(spec: FilterSpec, kind: int, params, x, P, Q, dts, zs,
   generic path). Non-feature extra-args kinds (the pseudorange family)
   stream per-step per-lane satellite states as eas (T, B, ea_len). Pass
   `structure` (ops/sparsity.detect_structure) to skip structurally-zero
-  Jacobian arithmetic. Returns (x, P) finals.
+  Jacobian arithmetic.
+
+  Per-STEP runtime params (the reference's global_vars updated at sensor
+  rate, ekf_sym.py:129-132 — e.g. CarKalman's forward speed + commanded
+  steering angle): ps_keys is a static tuple of param names, pss (T,
+  len(ps_keys)) their per-step values; each step's params dict is the
+  base `params` overlaid with that step's row. Returns (x, P) finals.
   """
-  assert not spec.is_msckf, "lane bank does not support MSCKF block structure"
   assert (eas is None) == (spec.obs[kind].ea_len == 0), (
       f"kind {kind} ea_len={spec.obs[kind].ea_len}: pass eas iff the kind "
       "takes extra args")
+  assert (pss is None) == (len(ps_keys) == 0), (
+      "pass pss (T, len(ps_keys)) iff ps_keys is non-empty")
+  if pss is not None:
+    assert pss.shape == (dts.shape[0], len(ps_keys)), (pss.shape, ps_keys)
   Rl = jnp.asarray(R, dtype=x.dtype)
+
+  seq = {'dt': dts, 'z': zs}
+  if eas is not None:
+    seq['ea'] = eas
+  if pss is not None:
+    seq['ps'] = pss
 
   def body(carry, inp):
     x, P = carry
-    dt, z, ea = inp
-    x, P = lane_predict(spec, params, x, P, Q, dt, structure=structure)
-    x, P, _ = lane_update(spec, kind, params, x, P, z, Rl,
-                          structure=structure, ea=ea)
+    ps_row = inp.get('ps')
+    p_t = params if ps_row is None else {
+        **params, **{k: ps_row[i] for i, k in enumerate(ps_keys)}}
+    x, P = lane_predict(spec, p_t, x, P, Q, inp['dt'],
+                        structure=structure)
+    x, P, _ = lane_update(spec, kind, p_t, x, P, inp['z'], Rl,
+                          structure=structure, ea=inp.get('ea'))
     return (x, P), None
 
-  if eas is None:
-    (x, P), _ = jax.lax.scan(lambda c, i: body(c, i + (None,)),
-                             (x, P), (dts, zs))
-  else:
-    (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs, eas))
+  (x, P), _ = jax.lax.scan(body, (x, P), seq)
   return x, P
 
 
 @functools.lru_cache(maxsize=None)
-def jit_lane_bank_scan(spec: FilterSpec, kind: int, structure=None):
+def jit_lane_bank_scan(spec: FilterSpec, kind: int, structure=None,
+                       ps_keys=()):
   return jax.jit(functools.partial(lane_bank_scan, spec, kind,
-                                   structure=structure))
+                                   structure=structure, ps_keys=ps_keys))
 
 
 def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
                          dts, kind_idx, zs, R_list, structure=None,
-                         eas=None):
+                         eas=None, ps_keys=(), pss=None):
   """Heterogeneous sensor schedule over a lane-major bank for ANY spec:
   one fused predict + `lax.switch`-dispatched update per step — the
   generic analog of ops/live_lane.live_mixed_scan (which is live-only) and
@@ -544,7 +574,9 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
   (T, B, max_dz) rows padded to the largest dz; R_list per-kind (dz, dz)
   noises aligned with `kinds` (traced — per-call values don't recompile);
   eas (T, B, max_ea_len) rows padded to the largest ea_len (required iff
-  some kind takes extra args; other steps' rows are ignored).
+  some kind takes extra args; other steps' rows are ignored). Per-step
+  runtime params stream via ps_keys (static names) + pss
+  (T, len(ps_keys)), as in lane_bank_scan.
   Returns final (x (B, dim_x), P (de, de, B)).
   """
   kinds = tuple(int(k) for k in kinds)
@@ -556,13 +588,17 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
       "extra args")
   if eas is not None:
     assert eas.shape[-1] == max_ea, (eas.shape, max_ea)
+  assert (pss is None) == (len(ps_keys) == 0), (
+      "pass pss (T, len(ps_keys)) iff ps_keys is non-empty")
 
   def _branch(i, k):
     om = spec.obs[k]
     dz, mea = om.dz, om.ea_len
 
-    def apply(xc, Pc, z, Rl, ea):
-      xn, Pn, _ = lane_update(spec, k, params, xc, Pc, z[:, :dz], Rl[i],
+    def apply(xc, Pc, z, Rl, ea, ps_row):
+      p_t = params if not ps_keys else {
+          **params, **{key: ps_row[n] for n, key in enumerate(ps_keys)}}
+      xn, Pn, _ = lane_update(spec, k, p_t, xc, Pc, z[:, :dz], Rl[i],
                               structure=structure,
                               ea=ea[:, :mea] if mea else None)
       return xn, Pn
@@ -571,19 +607,26 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
 
   branches = tuple(_branch(i, k) for i, k in enumerate(kinds))
 
+  seq = {'dt': dts, 'ki': kind_idx, 'z': zs}
+  if eas is not None:
+    seq['ea'] = eas
+  if pss is not None:
+    seq['ps'] = pss
+
   def body(carry, inp):
     xc, Pc = carry
-    dt, ki, z, ea = inp
-    xc, Pc = lane_predict(spec, params, xc, Pc, Q, dt, structure=structure)
-    xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z, R_list, ea)
+    dt = inp['dt']
+    # (B, 1) placeholder: every branch's kind has ea_len 0 and ignores it
+    ea = inp.get('ea', xc[:, :1] * 0.0)
+    ps_row = inp.get('ps', dt * 0.0)
+    p_t = params if not ps_keys else {
+        **params, **{key: ps_row[n] for n, key in enumerate(ps_keys)}}
+    xc, Pc = lane_predict(spec, p_t, xc, Pc, Q, dt, structure=structure)
+    xc, Pc = jax.lax.switch(inp['ki'], branches, xc, Pc, inp['z'], R_list,
+                            ea, ps_row)
     return (xc, Pc), None
 
-  if eas is None:
-    # (B, 1) placeholder: every branch's kind has ea_len 0 and ignores it
-    (x, P), _ = jax.lax.scan(lambda c, i: body(c, i + (c[0][:, :1] * 0.0,)),
-                             (x, P), (dts, kind_idx, zs))
-  else:
-    (x, P), _ = jax.lax.scan(body, (x, P), (dts, kind_idx, zs, eas))
+  (x, P), _ = jax.lax.scan(body, (x, P), seq)
   return x, P
 
 
@@ -642,11 +685,11 @@ def jit_lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple,
 
 @functools.lru_cache(maxsize=None)
 def jit_lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple,
-                             structure=None):
-  def fn(params, x, P, Q, dts, kind_idx, zs, R_list, eas=None):
+                             structure=None, ps_keys=()):
+  def fn(params, x, P, Q, dts, kind_idx, zs, R_list, eas=None, pss=None):
     return lane_mixed_bank_scan(spec, kinds, params, x, P, Q, dts,
                                 kind_idx, zs, R_list, structure=structure,
-                                eas=eas)
+                                eas=eas, ps_keys=ps_keys, pss=pss)
   return jax.jit(fn)
 
 

@@ -196,17 +196,21 @@ def pack_bank_measurements(zs):
   return jnp.swapaxes(zs, 1, 2).reshape(T, dz, SUBLANES, B // SUBLANES)
 
 
-def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec, kind,
-            t_chunk: int, q_diag, r_mat, gate: bool, structure,
-            entry: bool, has_ea: bool):
+def _kernel(dts_ref, *refs, spec, kind, t_chunk: int, q_diag, r_mat,
+            gate: bool, structure, entry: bool, has_ea: bool,
+            ps_keys=(), base_params=()):
   """Single-kind step kernel; with has_ea, a per-step per-lane extra-args
   stream (the pseudorange family's satellite states) rides along,
-  mirroring _vo_kernel's layout."""
-  if has_ea:
-    eas_ref, x_out_ref, p_out_ref = rest
-  else:
-    eas_ref = None
-    x_out_ref, p_out_ref = rest
+  mirroring _vo_kernel's layout. With ps_keys, a per-step runtime-params
+  stream (the reference's global_vars at sensor rate, ekf_sym.py:129-132)
+  rides SMEM next to dts: each step's params dict is the static
+  base_params overlaid with that step's scalar row."""
+  refs = list(refs)
+  pss_ref = refs.pop(0) if ps_keys else None
+  x_in_ref, p_in_ref, zs_ref = refs[:3]
+  rest = refs[3:]
+  eas_ref = rest.pop(0) if has_ea else None
+  x_out_ref, p_out_ref = rest
 
   j = pl.program_id(1)
 
@@ -221,17 +225,20 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec, kind,
     z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
     ea = (eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
           if has_ea else None)
+    params = dict(base_params)
+    if ps_keys:
+      params.update({key: pss_ref[k, i] for i, key in enumerate(ps_keys)})
     if entry:
       # entry-level body (ops/entry_slab.py): the structural interpreter
       # emits the whole step on slab values — the minimal-op path that
       # lets live-complexity specs fit the Mosaic compile budget
       from rednose_tpu.ops.entry_slab import entry_step_slab
-      x, P, _ = entry_step_slab(spec, kind, {}, x, P, z, q_diag, r_mat,
-                                dt, structure, gate=gate, ea=ea)
+      x, P, _ = entry_step_slab(spec, kind, params, x, P, z, q_diag,
+                                r_mat, dt, structure, gate=gate, ea=ea)
     else:
-      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+      x, P = generic_predict_slab(spec, params, x, P, q_diag, dt,
                                   structure=structure)
-      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
+      x, P, _ = generic_update_slab(spec, kind, params, x, P, z, r_mat,
                                     gate=gate, structure=structure, ea=ea)
     return (x, P)
 
@@ -240,19 +247,21 @@ def _kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec, kind,
   p_out_ref[:] = P
 
 
-def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
-                  spec, kinds, t_chunk: int, q_diag, r_mats, gate: bool,
-                  structure, entry: bool, has_ea: bool):
+def _mixed_kernel(dts_ref, kinds_ref, *refs, spec, kinds, t_chunk: int,
+                  q_diag, r_mats, gate: bool, structure, entry: bool,
+                  has_ea: bool, ps_keys=(), base_params=()):
   """generic _kernel for a heterogeneous kind schedule: one shared predict
   per step, then a lax.switch over per-kind updates (the same dispatch the
   hand live kernel uses, pallas_live._mixed_kernel). z rows are padded to
   the largest dz; ea rows (if any kind takes extra args) to the largest
-  ea_len — each branch slices its own leading rows."""
-  if has_ea:
-    eas_ref, x_out_ref, p_out_ref = rest
-  else:
-    eas_ref = None
-    x_out_ref, p_out_ref = rest
+  ea_len — each branch slices its own leading rows. With ps_keys, a
+  per-step runtime-params stream rides SMEM (see _kernel)."""
+  refs = list(refs)
+  pss_ref = refs.pop(0) if ps_keys else None
+  x_in_ref, p_in_ref, zs_ref = refs[:3]
+  rest = refs[3:]
+  eas_ref = rest.pop(0) if has_ea else None
+  x_out_ref, p_out_ref = rest
 
   j = pl.program_id(1)
 
@@ -262,22 +271,30 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
     p_out_ref[:] = p_in_ref[:]
 
   branches = tuple(_update_branch(spec, k, r_mats[i], gate, structure,
-                                  entry) for i, k in enumerate(kinds))
+                                  entry, ps_keys=ps_keys,
+                                  base_params=base_params)
+                   for i, k in enumerate(kinds))
 
   def body(t, carry):
     x, P = carry
     dt = dts_ref[t, 0]
     ki = kinds_ref[t, 0]
     z = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])
+    params = dict(base_params)
+    if ps_keys:
+      ps_row = jnp.stack([pss_ref[t, i] for i in range(len(ps_keys))])
+      params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
+    else:
+      ps_row = dt * 0.0  # unused placeholder for the branches
     if entry:
       from rednose_tpu.ops.entry_slab import entry_predict_slab
-      x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+      x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
     else:
-      x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+      x, P = generic_predict_slab(spec, params, x, P, q_diag, dt,
                                   structure=structure)
     ea = (eas_ref[pl.ds(t, 1)].reshape(eas_ref.shape[1:])
           if has_ea else x[:1] * 0.0)
-    x, P = jax.lax.switch(ki, branches, x, P, z, ea)
+    x, P = jax.lax.switch(ki, branches, x, P, z, ea, ps_row)
     return (x, P)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
@@ -286,16 +303,17 @@ def _mixed_kernel(dts_ref, kinds_ref, x_in_ref, p_in_ref, zs_ref, *rest,
 
 
 def _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate, structure,
-                     entry, x, P, z_t, ea_t, dt):
+                     entry, x, P, z_t, ea_t, dt, base_params=()):
   """One fully-unrolled epoch step (one predict + K inline slot updates)
   on slab values — shared by _epoch_kernel's 'unroll' mode and the
   auto-mode op counter (epoch_flat_body_ops), so the count is exact."""
   from rednose_tpu.ops.entry_slab import entry_predict_slab, \
       entry_update_slab
+  params = dict(base_params)
   if entry:
-    x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+    x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
   else:
-    x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
+    x, P = generic_predict_slab(spec, params, x, P, q_diag, dt,
                                 structure=structure)
   for k, kind in enumerate(slot_kinds):
     om = spec.obs[kind]
@@ -303,20 +321,24 @@ def _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate, structure,
     ea = ea_t[k, :om.ea_len] if om.ea_len else None
     g = gate and om.maha_test
     if entry:
-      x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mats[k], g,
-                                  structure, ea=ea)
+      x, P, _ = entry_update_slab(spec, kind, params, x, P, z, r_mats[k],
+                                  g, structure, ea=ea)
     else:
-      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mats[k],
-                                    gate=g, structure=structure, ea=ea)
+      x, P, _ = generic_update_slab(spec, kind, params, x, P, z,
+                                    r_mats[k], gate=g, structure=structure,
+                                    ea=ea)
   return x, P
 
 
-def _update_branch(spec, kind, r_mat, gate, structure, entry):
-  """One per-kind update branch (x, P, z_row, ea_row) -> (x, P), shared by
-  the mixed kernel's lax.switch dispatch and the epoch kernel's switch
-  slot mode — one builder so the two kernels' per-kind semantics cannot
-  drift. z_row/ea_row arrive padded to the schedule's max dz/ea_len; the
-  branch slices its own leading rows. gate=True means the KIND's own
+def _update_branch(spec, kind, r_mat, gate, structure, entry, ps_keys=(),
+                   base_params=()):
+  """One per-kind update branch (x, P, z_row, ea_row, ps_row) -> (x, P),
+  shared by the mixed kernel's lax.switch dispatch and the epoch kernel's
+  switch slot mode — one builder so the two kernels' per-kind semantics
+  cannot drift. z_row/ea_row arrive padded to the schedule's max
+  dz/ea_len; the branch slices its own leading rows. ps_row is the step's
+  runtime-params stream row ((len(ps_keys),) scalars; an ignored
+  placeholder when ps_keys is empty). gate=True means the KIND's own
   maha_test flag decides (reference semantics: gating is a spec property,
   templates/ekf_c.c:88-94) — unlike the hand live kernel's gate flag,
   which force-gates its position update."""
@@ -325,15 +347,18 @@ def _update_branch(spec, kind, r_mat, gate, structure, entry):
   om = spec.obs[kind]
   dz, mea = om.dz, om.ea_len
 
-  def apply(x, P, z_row, ea_row):
+  def apply(x, P, z_row, ea_row, ps_row):
     z = z_row[:dz]
     ea = ea_row[:mea] if mea else None
     g = gate and om.maha_test
+    params = dict(base_params)
+    if ps_keys:
+      params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
     if entry:
-      x, P, _ = entry_update_slab(spec, kind, {}, x, P, z, r_mat, g,
+      x, P, _ = entry_update_slab(spec, kind, params, x, P, z, r_mat, g,
                                   structure, ea=ea)
     else:
-      x, P, _ = generic_update_slab(spec, kind, {}, x, P, z, r_mat,
+      x, P, _ = generic_update_slab(spec, kind, params, x, P, z, r_mat,
                                     gate=g, structure=structure, ea=ea)
     return x, P
 
@@ -363,7 +388,7 @@ EPOCH_UNROLL_OP_BUDGET = 2600
 
 @functools.lru_cache(maxsize=None)
 def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
-                        entry, has_ea) -> int:
+                        entry, has_ea, base_params=()) -> int:
   """Exact jaxpr op count of one flat epoch step at tiny slab shapes —
   the quantity the Mosaic compile budget actually sees."""
   dx, de = spec.dim_x, spec.dim_err
@@ -379,7 +404,8 @@ def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
 
   def step(x, P, z_t, ea_t, dt):
     return _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate,
-                            structure, entry, x, P, z_t, ea_t, dt)
+                            structure, entry, x, P, z_t, ea_t, dt,
+                            base_params=base_params)
 
   if has_ea:
     ea_s = jax.ShapeDtypeStruct((K, max_ea) + b, f32)
@@ -393,7 +419,8 @@ def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
 
 def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
                   slot_kinds, t_chunk: int, q_diag, r_mats, gate: bool,
-                  structure, entry: bool, has_ea: bool, slot_mode: str):
+                  structure, entry: bool, has_ea: bool, slot_mode: str,
+                  base_params=()):
   """Epoch-batched step: ONE predict then K slot updates per time step —
   the reference's predict_and_update_batch shape (ekf_sym.py:484-531:
   predict once at t, then every measurement of the epoch) as a kernel
@@ -434,17 +461,19 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
       branch_of_slot.append(keys.index(key))
 
     branches = tuple(_update_branch(spec, kind, r_mat, gate, structure,
-                                    entry) for kind, r_mat in keys)
+                                    entry, base_params=base_params)
+                     for kind, r_mat in keys)
 
   def body(t, carry):
     x, P = carry
     dt = dts_ref[t, 0]
     if slot_mode == 'switch':
       if entry:
-        x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+        x, P = entry_predict_slab(spec, dict(base_params), x, P, q_diag,
+                                  dt, structure)
       else:
-        x, P = generic_predict_slab(spec, {}, x, P, q_diag, dt,
-                                    structure=structure)
+        x, P = generic_predict_slab(spec, dict(base_params), x, P, q_diag,
+                                    dt, structure=structure)
 
       def slot_body(k, carry_k):
         xk, Pk = carry_k
@@ -452,12 +481,13 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
         ea_row = (eas_ref[pl.ds(t, 1),
                           pl.ds(k, 1)].reshape(eas_ref.shape[2:])
                   if has_ea else xk[:1] * 0.0)
+        ps_row = dt * 0.0  # epoch kernel has no per-step params stream
         if len(branches) == 1:
-          return branches[0](xk, Pk, z_row, ea_row)
+          return branches[0](xk, Pk, z_row, ea_row, ps_row)
         bi = jnp.int32(branch_of_slot[0])
         for i in range(1, K):
           bi = jnp.where(k == i, jnp.int32(branch_of_slot[i]), bi)
-        return jax.lax.switch(bi, branches, xk, Pk, z_row, ea_row)
+        return jax.lax.switch(bi, branches, xk, Pk, z_row, ea_row, ps_row)
 
       return jax.lax.fori_loop(0, K, slot_body, (x, P))
 
@@ -465,7 +495,8 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
     ea_t = (eas_ref[pl.ds(t, 1)].reshape(eas_ref.shape[1:])
             if has_ea else None)
     return _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate,
-                            structure, entry, x, P, z_t, ea_t, dt)
+                            structure, entry, x, P, z_t, ea_t, dt,
+                            base_params=base_params)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
   x_out_ref[:] = x
@@ -474,8 +505,21 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
 
 def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
                p_out_ref, *, spec, kind, t_chunk: int, q_diag, r_mat,
-               gate: bool, structure):
-  from rednose_tpu.ops.entry_slab import entry_vo_frame_slab
+               gate: bool, structure, phase_mode: str):
+  """Banked-VO frame kernel. phase_mode:
+
+    'flat': the whole frame (block predict + projected feature update +
+      augment) inline in one region — fastest while the body fits the
+      Mosaic op budget (the additive msckf_vo spec, ~1.9k ops).
+    'switch': fori_loop(0, 3) over a lax.switch of the frame's three
+      phases (predict / innovation / apply+augment,
+      entry_slab.entry_vo_frame_branches) — Mosaic compiles each phase as
+      its own region, which is what lets the 36-dim ESKFxMSCKF
+      composition (flat body 4.4k ops) reach the kernel at all."""
+  from rednose_tpu.ops.entry_slab import (
+      entry_vo_frame_branches,
+      entry_vo_frame_slab,
+  )
 
   j = pl.program_id(1)
 
@@ -484,32 +528,83 @@ def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
     x_out_ref[:] = x_in_ref[:]
     p_out_ref[:] = p_in_ref[:]
 
-  def body(k, carry):
-    x, P = carry
-    dt = dts_ref[k, 0]
-    z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
-    ea = eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
-    return entry_vo_frame_slab(spec, kind, {}, x, P, z, ea, q_diag, r_mat,
-                               dt, structure, gate=gate)
+  if phase_mode == 'switch':
+    branches = entry_vo_frame_branches(spec, kind, {}, q_diag, r_mat,
+                                       structure, gate)
+    dzp = spec.obs[kind].dz - spec.obs[kind].ea_dim
+
+    def body(k, carry):
+      x, P = carry
+      dt = dts_ref[k, 0]
+      z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
+      ea = eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
+      # phase scratch zeros derived from inputs (Mosaic constant rule)
+      yp0 = x[:dzp] * 0.0
+      HP0 = P[:dzp] * 0.0
+      S0 = P[:dzp, :dzp] * 0.0
+
+      def phase(pi, c):
+        return jax.lax.switch(pi, branches, *c, z, ea, dt)
+
+      x, P, _, _, _ = jax.lax.fori_loop(0, 3, phase, (x, P, yp0, HP0, S0))
+      return (x, P)
+  else:
+    def body(k, carry):
+      x, P = carry
+      dt = dts_ref[k, 0]
+      z = zs_ref[pl.ds(k, 1)].reshape(zs_ref.shape[1:])
+      ea = eas_ref[pl.ds(k, 1)].reshape(eas_ref.shape[1:])
+      return entry_vo_frame_slab(spec, kind, {}, x, P, z, ea, q_diag,
+                                 r_mat, dt, structure, gate=gate)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
   x_out_ref[:] = x
   p_out_ref[:] = P
 
 
+@functools.lru_cache(maxsize=None)
+def vo_flat_body_ops(spec, kind, q_diag, r_mat, gate, structure) -> int:
+  """Exact jaxpr op count of one flat VO frame at tiny slab shapes — the
+  quantity the Mosaic compile budget sees (see epoch_flat_body_ops)."""
+  from rednose_tpu.ops.entry_slab import entry_vo_frame_slab
+
+  dx, de = spec.dim_x, spec.dim_err
+  om = spec.obs[kind]
+  b = (8, 8)
+  f32 = jnp.float32
+  sds = jax.ShapeDtypeStruct
+
+  def frame(x, P, z, ea, dt):
+    return entry_vo_frame_slab(spec, kind, {}, x, P, z, ea, q_diag, r_mat,
+                               dt, structure, gate=gate)
+
+  closed = jax.make_jaxpr(frame)(
+      sds((dx,) + b, f32), sds((de, de) + b, f32), sds((om.dz,) + b, f32),
+      sds((om.ea_len,) + b, f32), sds((), f32))
+  return _num_eqns(closed.jaxpr)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
-                     'tile_b', 'interpret', 'structure'))
+                     'tile_b', 'interpret', 'structure', 'phase_mode'))
 def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
                  kind, q_diag, r_mat, gate: bool = False,
                  t_chunk: int = 128, tile_b: int = 1024,
-                 interpret: bool = False, structure=None):
+                 interpret: bool = False, structure=None,
+                 phase_mode: str = 'auto'):
   """T banked-VO frames, VMEM-resident: each frame is an MSCKF block
   predict + nullspace-projected feature update + window augmentation
   (ops/entry_slab.entry_vo_frame_slab) — the reference's feature kinds in
   the same hot compiled kernel as everything else (templates/ekf_c.c:66-77
   at kernel speed, with per-frame landmark positions streamed from HBM).
+  Runs the ESKFxMSCKF composition (models/msckf_eskf — quaternion error
+  state + full-pose clone window, the reference's joint
+  msckf_params+eskf_params path, ekf_sym.py:57-66) as well as additive
+  MSCKF specs: phase_mode='auto' counts the flat frame body's ops exactly
+  (vo_flat_body_ops) and keeps the zero-dispatch flat form while it fits
+  the Mosaic budget; bigger bodies run as a 3-phase lax.switch
+  (predict / innovation / apply+augment), one Mosaic region per phase.
 
   Layouts mirror generic_bank_scan, plus eas_packed (T, ea_len, 8, B/8)
   per-frame per-lane feature positions."""
@@ -526,9 +621,17 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
   assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
   n_b, n_t = B // tile_b, T // t_chunk
 
+  assert phase_mode in ('auto', 'flat', 'switch'), phase_mode
+  if phase_mode == 'auto':
+    flat_ops = vo_flat_body_ops(spec, kind, q_diag, r_mat, gate, structure)
+    phase_mode = 'flat' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
+    logging.getLogger(__name__).info(
+        "vo_bank_scan auto: flat frame body %d ops (budget %d) -> "
+        "phase_mode=%r", flat_ops, EPOCH_UNROLL_OP_BUDGET, phase_mode)
   kernel = functools.partial(_vo_kernel, spec=spec, kind=kind,
                              t_chunk=t_chunk, q_diag=q_diag, r_mat=r_mat,
-                             gate=gate, structure=structure)
+                             gate=gate, structure=structure,
+                             phase_mode=phase_mode)
 
   return pl.pallas_call(
       kernel,
@@ -565,13 +668,13 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
     jax.jit,
     static_argnames=('spec', 'slot_kinds', 'q_diag', 'r_mats', 'gate',
                      't_chunk', 'tile_b', 'interpret', 'structure', 'entry',
-                     'slot_mode'))
+                     'slot_mode', 'base_params'))
 def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
                             eas_packed=None, *, spec, slot_kinds, q_diag,
                             r_mats, gate: bool = True, t_chunk: int = 32,
                             tile_b: int = 1024, interpret: bool = False,
                             structure=None, entry: bool = True,
-                            slot_mode: str = 'auto'):
+                            slot_mode: str = 'auto', base_params=()):
   """T EPOCHS, each one predict + K statically-unrolled updates — the
   reference's predict_and_update_batch semantics (predict once at t, then
   every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
@@ -628,7 +731,7 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   if slot_mode == 'auto':
     flat_ops = epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate,
                                    structure, entry,
-                                   eas_packed is not None)
+                                   eas_packed is not None, base_params)
     slot_mode = 'unroll' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
     logging.getLogger(__name__).info(
         "generic_bank_scan_epoch auto: flat body %d ops (budget %d) -> "
@@ -638,7 +741,8 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   kernel = functools.partial(
       _epoch_kernel, spec=spec, slot_kinds=slot_kinds, t_chunk=t_chunk,
       q_diag=q_diag, r_mats=r_mats, gate=gate, structure=structure,
-      entry=entry, has_ea=eas_packed is not None, slot_mode=slot_mode)
+      entry=entry, has_ea=eas_packed is not None, slot_mode=slot_mode,
+      base_params=base_params)
 
   in_specs = [
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
@@ -687,12 +791,15 @@ def pack_bank_epochs(zs):
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kinds', 'q_diag', 'r_mats', 'gate', 't_chunk',
-                     'tile_b', 'interpret', 'structure', 'entry'))
+                     'tile_b', 'interpret', 'structure', 'entry', 'ps_keys',
+                     'base_params'))
 def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
-                            eas_packed=None, *, spec, kinds, q_diag, r_mats,
-                            gate: bool = True, t_chunk: int = 128,
-                            tile_b: int = 1024, interpret: bool = False,
-                            structure=None, entry: bool = True):
+                            eas_packed=None, pss=None, *, spec, kinds,
+                            q_diag, r_mats, gate: bool = True,
+                            t_chunk: int = 128, tile_b: int = 1024,
+                            interpret: bool = False, structure=None,
+                            entry: bool = True, ps_keys=(),
+                            base_params=()):
   """Heterogeneous-kind fused bank for ANY scatter-free spec: each step is
   one shared predict plus a lax.switch-dispatched update of
   kinds[kind_idx[t]], all VMEM-resident — the generic analog of the
@@ -713,7 +820,11 @@ def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
   semantics, gating is a spec property (ekf_c.c:88-94); kinds without the
   flag are never gated, so this is a no-op for specs like live that set
   no maha kinds. The hand live kernel's gate flag force-gates instead —
-  different contract."""
+  different contract.
+
+  Per-step runtime params: ps_keys static tuple of names, pss
+  (T, len(ps_keys)) SMEM-streamed values, base_params static (name,
+  float) pairs for the rest — see generic_bank_scan."""
   T = zs_packed.shape[0]
   dx, de = spec.dim_x, spec.dim_err
   kinds = tuple(int(k) for k in kinds)
@@ -733,19 +844,33 @@ def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
       "takes extra args")
   if eas_packed is not None:
     assert eas_packed.shape == (T, max_ea, SUBLANES, bsub), eas_packed.shape
+  assert (pss is None) == (len(ps_keys) == 0), (
+      "pass pss (T, len(ps_keys)) iff ps_keys is non-empty")
+  if pss is not None:
+    assert pss.shape == (T, len(ps_keys)), (pss.shape, ps_keys)
   n_b, n_t = B // tile_b, T // t_chunk
 
   kernel = functools.partial(
       _mixed_kernel, spec=spec, kinds=kinds, t_chunk=t_chunk, q_diag=q_diag,
       r_mats=r_mats, gate=gate, structure=structure,
       entry=entry and structure is not None,
-      has_ea=eas_packed is not None)
+      has_ea=eas_packed is not None, ps_keys=ps_keys,
+      base_params=base_params)
 
   in_specs = [
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
                    memory_space=pltpu.SMEM),
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
                    memory_space=pltpu.SMEM),
+  ]
+  operands = [dts.reshape(T, 1), kind_idx.reshape(T, 1).astype(jnp.int32)]
+  if pss is not None:
+    n_ps = len(ps_keys)
+    in_specs.append(
+        pl.BlockSpec((t_chunk, n_ps), lambda i, j: (j, 0),
+                     memory_space=pltpu.SMEM))
+    operands.append(pss)
+  in_specs += [
       pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
                    memory_space=pltpu.VMEM),
       pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
@@ -753,8 +878,7 @@ def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
       pl.BlockSpec((t_chunk, max_dz, SUBLANES, tile),
                    lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
   ]
-  operands = [dts.reshape(T, 1), kind_idx.reshape(T, 1).astype(jnp.int32),
-              x_packed, P_packed, zs_packed]
+  operands += [x_packed, P_packed, zs_packed]
   if eas_packed is not None:
     in_specs.append(
         pl.BlockSpec((t_chunk, max_ea, SUBLANES, tile),
@@ -784,12 +908,14 @@ def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
-                     'tile_b', 'interpret', 'structure', 'entry'))
+                     'tile_b', 'interpret', 'structure', 'entry', 'ps_keys',
+                     'base_params'))
 def generic_bank_scan(x_packed, P_packed, zs_packed, dts, eas_packed=None,
-                      *, spec, kind, q_diag, r_mat, gate: bool = False,
-                      t_chunk: int = 128, tile_b: int = 1024,
-                      interpret: bool = False, structure=None,
-                      entry: bool = True):
+                      pss=None, *, spec, kind, q_diag, r_mat,
+                      gate: bool = False, t_chunk: int = 128,
+                      tile_b: int = 1024, interpret: bool = False,
+                      structure=None, entry: bool = True, ps_keys=(),
+                      base_params=()):
   """T fused predict+update steps of ANY scatter-free spec, VMEM-resident.
 
   Args mirror pallas_live.live_bank_scan with generic dims: x_packed
@@ -806,6 +932,14 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, eas_packed=None,
   (ops/entry_slab.py) — the minimal-op form that brings live-complexity
   specs under the Mosaic compile budget; entry=False keeps the older
   masked-products body.
+
+  PER-STEP RUNTIME PARAMS (the reference's global_vars updated at sensor
+  rate, ekf_sym.py:129-132 — e.g. CarKalman's forward speed + commanded
+  steering angle): ps_keys is a static tuple of param names, pss
+  (T, len(ps_keys)) their per-step values, streamed through SMEM next to
+  dts; base_params a static tuple of (name, float) pairs for the params
+  that DON'T vary per step (spec.default_params minus the streamed keys).
+  Each step's params dict = dict(base_params) overlaid with its pss row.
   """
   T = zs_packed.shape[0]
   dx, de, dz = spec.dim_x, spec.dim_err, spec.obs[kind].dz
@@ -823,17 +957,31 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, eas_packed=None,
       "extra args")
   if eas_packed is not None:
     assert eas_packed.shape == (T, mea, SUBLANES, bsub), eas_packed.shape
+  assert (pss is None) == (len(ps_keys) == 0), (
+      "pass pss (T, len(ps_keys)) iff ps_keys is non-empty")
+  if pss is not None:
+    assert pss.shape == (T, len(ps_keys)), (pss.shape, ps_keys)
   n_b, n_t = B // tile_b, T // t_chunk
 
   kernel = functools.partial(_kernel, spec=spec, kind=kind, t_chunk=t_chunk,
                              q_diag=q_diag, r_mat=r_mat, gate=gate,
                              structure=structure,
                              entry=entry and structure is not None,
-                             has_ea=eas_packed is not None)
+                             has_ea=eas_packed is not None,
+                             ps_keys=ps_keys, base_params=base_params)
 
   in_specs = [
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
                    memory_space=pltpu.SMEM),
+  ]
+  operands = [dts.reshape(T, 1)]
+  if pss is not None:
+    n_ps = len(ps_keys)
+    in_specs.append(
+        pl.BlockSpec((t_chunk, n_ps), lambda i, j: (j, 0),
+                     memory_space=pltpu.SMEM))
+    operands.append(pss)
+  in_specs += [
       pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
                    memory_space=pltpu.VMEM),
       pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
@@ -841,7 +989,7 @@ def generic_bank_scan(x_packed, P_packed, zs_packed, dts, eas_packed=None,
       pl.BlockSpec((t_chunk, dz, SUBLANES, tile),
                    lambda i, j: (j, 0, 0, i), memory_space=pltpu.VMEM),
   ]
-  operands = [dts.reshape(T, 1), x_packed, P_packed, zs_packed]
+  operands += [x_packed, P_packed, zs_packed]
   if eas_packed is not None:
     in_specs.append(
         pl.BlockSpec((t_chunk, mea, SUBLANES, tile),

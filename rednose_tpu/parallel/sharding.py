@@ -165,27 +165,34 @@ def sharded_live_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed, dts,
 
 
 def sharded_generic_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed,
-                              dts, eas_packed=None, *, spec, kind, q_diag,
-                              r_mat, structure=None, gate: bool = False,
-                              t_chunk: int = 128, tile_b: int = 1024,
-                              interpret: bool = False, entry: bool = True):
+                              dts, eas_packed=None, pss=None, *, spec,
+                              kind, q_diag, r_mat, structure=None,
+                              gate: bool = False, t_chunk: int = 128,
+                              tile_b: int = 1024, interpret: bool = False,
+                              entry: bool = True, ps_keys=(),
+                              base_params=()):
   """Entry-level generic kernel (ops/pallas_bank.py + ops/entry_slab.py)
   sharded over the mesh — the scale-out story for the automatic path:
   ANY spec, no hand derivation, one VMEM-resident kernel per chip shard,
   zero collectives. Same packed layout and divisibility rules as
   sharded_live_bank_scan; extra-args kinds shard their eas_packed stream
-  on the same sub-bank axis."""
+  on the same sub-bank axis; a per-step runtime-params stream
+  (ps_keys/pss, the reference's sensor-rate global_vars) is replicated —
+  every chip reads the same control inputs."""
   from rednose_tpu.ops import pallas_bank
 
   n = mesh.devices.size
   assert x_packed.shape[-1] % n == 0, (x_packed.shape, n)
 
-  def local(xp, Pp, zsp, dts_, *easp):
+  def local(xp, Pp, zsp, dts_, *rest):
+    rest = list(rest)
+    easp = rest.pop(0) if eas_packed is not None else None
+    pss_ = rest.pop(0) if pss is not None else None
     return pallas_bank.generic_bank_scan(
-        xp, Pp, zsp, dts_, easp[0] if easp else None, spec=spec, kind=kind,
+        xp, Pp, zsp, dts_, easp, pss_, spec=spec, kind=kind,
         q_diag=q_diag, r_mat=r_mat, gate=gate, t_chunk=t_chunk,
         tile_b=tile_b, interpret=interpret, structure=structure,
-        entry=entry)
+        entry=entry, ps_keys=ps_keys, base_params=base_params)
 
   in_specs = [P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
               P(None, None, None, BANK_AXIS), P()]
@@ -193,12 +200,47 @@ def sharded_generic_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed,
   if eas_packed is not None:
     in_specs.append(P(None, None, None, BANK_AXIS))
     operands.append(eas_packed)
+  if pss is not None:
+    in_specs.append(P())
+    operands.append(pss)
   return jax.shard_map(
       local, mesh=mesh,
       in_specs=tuple(in_specs),
       out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
       check_vma=False,
   )(*operands)
+
+
+def sharded_vo_bank_scan(mesh: Mesh, x_packed, P_packed, zs_packed,
+                         eas_packed, dts, *, spec, kind, q_diag, r_mat,
+                         structure=None, gate: bool = False,
+                         t_chunk: int = 128, tile_b: int = 1024,
+                         interpret: bool = False,
+                         phase_mode: str = 'auto'):
+  """Banked-VO kernel (ops/pallas_bank.vo_bank_scan: MSCKF block predict +
+  projected feature update + window augment per frame — incl. the
+  ESKFxMSCKF composition via the 3-phase switch dispatch) sharded over
+  the mesh: the bank and its per-frame landmark stream shard, frames
+  replicate. Zero collectives."""
+  from rednose_tpu.ops import pallas_bank
+
+  n = mesh.devices.size
+  assert x_packed.shape[-1] % n == 0, (x_packed.shape, n)
+
+  def local(xp, Pp, zsp, easp, dts_):
+    return pallas_bank.vo_bank_scan(
+        xp, Pp, zsp, easp, dts_, spec=spec, kind=kind, q_diag=q_diag,
+        r_mat=r_mat, gate=gate, t_chunk=t_chunk, tile_b=tile_b,
+        interpret=interpret, structure=structure, phase_mode=phase_mode)
+
+  return jax.shard_map(
+      local, mesh=mesh,
+      in_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS),
+                P(None, None, None, BANK_AXIS),
+                P(None, None, None, BANK_AXIS), P()),
+      out_specs=(P(None, None, BANK_AXIS), P(None, None, None, BANK_AXIS)),
+      check_vma=False,
+  )(x_packed, P_packed, zs_packed, eas_packed, dts)
 
 
 def sharded_generic_bank_scan_mixed(mesh: Mesh, x_packed, P_packed,

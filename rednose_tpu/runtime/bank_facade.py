@@ -194,20 +194,22 @@ class BankFacadeBase:
               if eas is not None else None)
       r_mats = tuple(tuple(tuple(float(v) for v in row)
                            for row in np.asarray(R)) for R in R_by_slot)
+      base_params = (self._static_params()
+                     if hasattr(self, '_static_params') else ())
       xp, Pp = pallas_bank.generic_bank_scan_epoch(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
           slot_kinds=slot_kinds, q_diag=self._q_diag, r_mats=r_mats,
           t_chunk=t_chunk, tile_b=tile_b, structure=self.structure,
-          slot_mode=slot_mode)
+          slot_mode=slot_mode, base_params=base_params)
       self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
     else:
       fn = lane_bank.jit_lane_epoch_bank_scan(self.spec, slot_kinds,
                                               self.structure)
       R_list = tuple(jnp.asarray(R, self.dtype) for R in R_by_slot)
       self._x, self._P = fn(
-          {}, self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
-          jnp.asarray(zs, self.dtype), R_list,
-          eas=None if eas is None else jnp.asarray(eas, self.dtype))
+          getattr(self, 'params', {}), self._x, self._P, self.Q,
+          jnp.asarray(dts, self.dtype), jnp.asarray(zs, self.dtype),
+          R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype))
     self.t += float(dts.sum())
     self._ring.clear()  # bulk runs are not observation-addressable
     return self

@@ -41,19 +41,22 @@ from rednose_tpu.runtime.rewind import BankRewindRing
 def _jit_step(spec: FilterSpec, kind: int, structure, has_ea: bool):
   """One fused lane predict+update, jitted per kind (the observe() hot
   path: per-tick streaming is dispatch-latency-bound, so the fused batch
-  kernels stay reserved for run()/run_mixed())."""
+  kernels stay reserved for run()/run_mixed()). `params` is a traced
+  pytree argument — set_global updates reach the compiled program with
+  zero recompilation (the reference's mutable-C-global pattern,
+  ekf_sym.py:129-132)."""
   if has_ea:
-    def fn(x, P, Q, dt, z, R, ea):
-      x, P = lane_bank.lane_predict(spec, {}, x, P, Q, dt,
+    def fn(params, x, P, Q, dt, z, R, ea):
+      x, P = lane_bank.lane_predict(spec, params, x, P, Q, dt,
                                     structure=structure)
-      x, P, _ = lane_bank.lane_update(spec, kind, {}, x, P, z, R,
+      x, P, _ = lane_bank.lane_update(spec, kind, params, x, P, z, R,
                                       structure=structure, ea=ea)
       return x, P
   else:
-    def fn(x, P, Q, dt, z, R):
-      x, P = lane_bank.lane_predict(spec, {}, x, P, Q, dt,
+    def fn(params, x, P, Q, dt, z, R):
+      x, P = lane_bank.lane_predict(spec, params, x, P, Q, dt,
                                     structure=structure)
-      x, P, _ = lane_bank.lane_update(spec, kind, {}, x, P, z, R,
+      x, P, _ = lane_bank.lane_update(spec, kind, params, x, P, z, R,
                                       structure=structure)
       return x, P
   return jax.jit(fn)
@@ -83,9 +86,8 @@ class KalmanBank(BankFacadeBase):
           else obs_noise
     assert isinstance(spec, FilterSpec), spec
     assert not spec.is_msckf, (
-        "MSCKF block specs: use ops/pallas_bank.vo_bank_scan / "
-        "models.msckf_eskf (window augmentation is a per-frame layout "
-        "change, not a bank scan)")
+        "MSCKF block specs: use runtime/msckf_bank.MSCKFBank (camera "
+        "frames need the predict+feature-update+augment step shape)")
     assert x0 is not None and P_diag is not None and Q is not None, (
         "spec= needs explicit x0/P_diag/Q")
     self.spec = spec
@@ -132,6 +134,33 @@ class KalmanBank(BankFacadeBase):
     self.use_pallas = use_pallas
     self.max_rewind_age = max_rewind_age
     self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
+    # runtime-tunable params (the reference's global_vars + set_<var>
+    # setters, ekf_sym.py:129-132): traced into the lane programs (zero
+    # recompile on set_global), static scalars in the kernels — per-step
+    # variation streams through ps_keys/pss on run()/run_mixed()
+    self.params = dict(spec.default_params)
+
+  def set_global(self, key: str, value):
+    """Update one runtime param (reference: set_<global_name>). Lane-path
+    programs see the new value with no recompilation; the fused kernels
+    carry non-streamed params as compile-time constants, so prefer the
+    ps_keys/pss streams for values that change at sensor rate."""
+    assert key in self.params, (key, sorted(self.params))
+    self.params[key] = value
+
+  def _static_params(self, ps_keys=()):
+    """self.params minus the streamed keys, as the kernels' static (name,
+    float) tuple; raises if a non-scalar param would need the lane path."""
+    out = []
+    for k in sorted(self.params):
+      if k in ps_keys:
+        continue
+      v = np.asarray(self.params[k])
+      assert v.ndim == 0, (
+          f"param {k!r} is not a scalar ({v.shape}); array params need "
+          "the lane path (use_pallas=False)")
+      out.append((k, float(v)))
+    return tuple(out)
 
   # --------------------------------------------------- per-observation API
 
@@ -175,8 +204,9 @@ class KalmanBank(BankFacadeBase):
     dt = max(float(t) - self.t, 0.0)
     om = self.spec.obs[kind]
     step = _jit_step(self.spec, kind, self.structure, om.ea_len > 0)
-    args = (self._x, self._P, self.Q, jnp.asarray(dt, self.dtype),
-            jnp.asarray(z, self.dtype), jnp.asarray(R, self.dtype))
+    args = (self.params, self._x, self._P, self.Q,
+            jnp.asarray(dt, self.dtype), jnp.asarray(z, self.dtype),
+            jnp.asarray(R, self.dtype))
     if om.ea_len:
       args = args + (jnp.asarray(ea, self.dtype),)
     self._x, self._P = step(*args)
@@ -185,13 +215,21 @@ class KalmanBank(BankFacadeBase):
 
   # ------------------------------------------------------------------- runs
 
-  def run(self, dts, zs, kind, R=None, eas=None):
+  def run(self, dts, zs, kind, R=None, eas=None, pss=None, ps_keys=()):
     """T fused predict+update steps of one kind: dts (T,), zs (T, B, dz),
     R (dz, dz) shared (defaults to the model's obs_noise), eas
     (T, B, ea_len) for extra-args kinds. Advances bank time by sum(dts)
-    (host float64)."""
+    (host float64).
+
+    Per-STEP runtime params (the reference's global_vars at sensor rate —
+    e.g. CarKalman's forward speed + commanded steering angle): ps_keys
+    is a static tuple of param names, pss (T, len(ps_keys)) their
+    per-step values; each step's params = self.params overlaid with its
+    row. Streams through SMEM on the kernel path, scanned on the lane
+    path — same semantics either way."""
     kind = int(kind)
     om = self.spec.obs[kind]
+    ps_keys = tuple(ps_keys)
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
     if T == 0:
@@ -200,6 +238,7 @@ class KalmanBank(BankFacadeBase):
       R = self._default_R(kind)
     R = self._normalize_R(kind, R)  # same contract as observe()
     assert (eas is None) == (om.ea_len == 0)
+    assert (pss is None) == (len(ps_keys) == 0)
     # the kernel's SMEM dts stream needs t_chunk >= 8: odd-length runs
     # take the lane path (Mosaic block-shape rule, see CLAUDE.md)
     if self.use_pallas and T % 8 == 0:
@@ -210,16 +249,22 @@ class KalmanBank(BankFacadeBase):
           jnp.asarray(eas, self.dtype)) if eas is not None else None)
       r_mat = tuple(tuple(float(v) for v in row) for row in R)
       xp, Pp = pallas_bank.generic_bank_scan(
-          xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
-          kind=kind, q_diag=self._q_diag, r_mat=r_mat, gate=om.maha_test,
-          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure)
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp,
+          None if pss is None else jnp.asarray(pss, self.dtype),
+          spec=self.spec, kind=kind, q_diag=self._q_diag, r_mat=r_mat,
+          gate=om.maha_test, t_chunk=t_chunk, tile_b=tile_b,
+          structure=self.structure, ps_keys=ps_keys,
+          base_params=self._static_params(ps_keys))
       self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
     else:
-      fn = lane_bank.jit_lane_bank_scan(self.spec, kind, self.structure)
+      fn = lane_bank.jit_lane_bank_scan(self.spec, kind, self.structure,
+                                        ps_keys)
       self._x, self._P = fn(
-          {}, self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
-          jnp.asarray(zs, self.dtype), jnp.asarray(R, self.dtype),
-          eas=None if eas is None else jnp.asarray(eas, self.dtype))
+          self.params, self._x, self._P, self.Q,
+          jnp.asarray(dts, self.dtype), jnp.asarray(zs, self.dtype),
+          jnp.asarray(R, self.dtype),
+          eas=None if eas is None else jnp.asarray(eas, self.dtype),
+          pss=None if pss is None else jnp.asarray(pss, self.dtype))
     self.t += float(dts.sum())
     self._ring.clear()  # bulk runs are not observation-addressable
     return self
@@ -228,12 +273,14 @@ class KalmanBank(BankFacadeBase):
   # spec, so every facade shares one implementation)
 
   def run_mixed(self, dts, kind_idx, zs, kinds: Sequence[int],
-                R_by_kind=None, eas=None):
+                R_by_kind=None, eas=None, pss=None, ps_keys=()):
     """T steps of a heterogeneous sensor schedule: kinds is the static kind
     set, kind_idx (T,) indexes into it, zs (T, B, max_dz) rows padded to
     the largest dz, eas (T, B, max_ea_len) likewise (required iff some
-    kind takes extra args). Per-kind R defaults to the model's obs_noise."""
+    kind takes extra args). Per-kind R defaults to the model's obs_noise.
+    Per-step runtime params via ps_keys/pss as in run()."""
     kinds = tuple(int(k) for k in kinds)
+    ps_keys = tuple(ps_keys)
     max_ea = max(self.spec.obs[k].ea_len for k in kinds)
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
@@ -243,6 +290,7 @@ class KalmanBank(BankFacadeBase):
       R_by_kind = {k: self._default_R(k) for k in kinds}
     R_by_kind = {k: self._normalize_R(k, R_by_kind[k]) for k in kinds}
     assert (eas is None) == (max_ea == 0)
+    assert (pss is None) == (len(ps_keys) == 0)
     if self.use_pallas and T % 8 == 0:
       t_chunk, tile_b = self._tiles(T)
       xp, Pp = pallas_bank.pack_bank(self._x, self._P)
@@ -254,18 +302,23 @@ class KalmanBank(BankFacadeBase):
                      for k in kinds)
       xp, Pp = pallas_bank.generic_bank_scan_mixed(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype),
-          jnp.asarray(kind_idx, jnp.int32), easp, spec=self.spec,
-          kinds=kinds, q_diag=self._q_diag, r_mats=r_mats, gate=True,
-          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure)
+          jnp.asarray(kind_idx, jnp.int32), easp,
+          None if pss is None else jnp.asarray(pss, self.dtype),
+          spec=self.spec, kinds=kinds, q_diag=self._q_diag, r_mats=r_mats,
+          gate=True, t_chunk=t_chunk, tile_b=tile_b,
+          structure=self.structure, ps_keys=ps_keys,
+          base_params=self._static_params(ps_keys))
       self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
     else:
       fn = lane_bank.jit_lane_mixed_bank_scan(self.spec, kinds,
-                                              self.structure)
+                                              self.structure, ps_keys)
       R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
       self._x, self._P = fn(
-          {}, self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
-          jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
-          R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype))
+          self.params, self._x, self._P, self.Q,
+          jnp.asarray(dts, self.dtype), jnp.asarray(kind_idx, jnp.int32),
+          jnp.asarray(zs, self.dtype), R_list,
+          eas=None if eas is None else jnp.asarray(eas, self.dtype),
+          pss=None if pss is None else jnp.asarray(pss, self.dtype))
     self.t += float(dts.sum())
     self._ring.clear()  # bulk runs are not observation-addressable
     return self

@@ -314,3 +314,70 @@ def test_entry_absorbs_static_scatter():
   st = sparsity.detect_structure(spec, np.array([1.0, 2.0, 0.5, -0.3]))
   _check_parity(spec, 1, np.array([1.0, 2.0, 0.5, -0.3]),
                 np.full(4, 0.01), np.diag([0.1, 0.2]), gate=False)
+
+
+@pytest.mark.slow
+def test_entry_vo_kernel_eskf_composition_switch_mode():
+  """The ESKFxMSCKF composition (models/msckf_eskf: quaternion error state
+  + full-pose clone window — the reference's joint msckf_params +
+  eskf_params path, ekf_sym.py:57-66) through vo_bank_scan. The flat
+  frame body is ~4.4k jaxpr ops — past the Mosaic compile budget — so
+  auto mode must pick the 3-phase lax.switch dispatch
+  (entry_slab.entry_vo_frame_branches); parity vs the sequential
+  core/step oracle stays exact."""
+  from rednose_tpu.models.msckf_eskf import (
+      MSCKFEskf,
+      ObservationKind as EK,
+  )
+
+  spec = MSCKFEskf.build_spec()
+  kind = int(EK.MSCKF_FEATURE)
+  om = spec.obs[kind]
+  st = sparsity.detect_structure(spec, MSCKFEskf.initial_x)
+  q_diag = tuple(float(v) for v in np.diag(MSCKFEskf.Q))
+  r_mat = tuple(tuple(0.01**2 if i == j else 0.0 for j in range(om.dz))
+                for i in range(om.dz))
+  assert pallas_bank.vo_flat_body_ops(
+      spec, kind, q_diag, r_mat, True, st) > \
+      pallas_bank.EPOCH_UNROLL_OP_BUDGET  # auto must route to 'switch'
+
+  rng = np.random.RandomState(0)
+  B, T = 16, 4
+  x0 = np.asarray(MSCKFEskf.initial_x, np.float64)
+  xs = np.tile(x0, (B, 1)) + 0.02 * rng.randn(B, spec.dim_x)
+  for a in range(spec.n_augment):
+    o = spec.dim_main + spec.dim_augment * a
+    xs[:, o:o + 3] += 0.5 * rng.randn(3)[None]
+  for idx in spec.quaternion_idxs:
+    q = xs[:, idx:idx + 4]
+    xs[:, idx:idx + 4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+  Ps = np.tile((0.1 * np.eye(spec.dim_err))[..., None], (1, 1, B))
+  eas = np.array([1.0, 0.5, 6.0])[None, None] + 0.1 * rng.randn(T, B, 3)
+  zs = np.stack([np.stack([
+      np.asarray(om.h({}, jnp.asarray(xs[i]), jnp.asarray(eas[t, i])))
+      + 0.005 * rng.randn(om.dz) for i in range(B)]) for t in range(T)])
+  dts = np.full((T,), 0.05)
+  dtype = jnp.float32
+
+  xp, Pp = pallas_bank.pack_bank(jnp.asarray(xs, dtype),
+                                 jnp.asarray(Ps, dtype))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, dtype))
+  easp = pallas_bank.pack_bank_measurements(jnp.asarray(eas, dtype))
+  xo_p, Po_p = pallas_bank.vo_bank_scan(
+      xp, Pp, zsp, easp, jnp.asarray(dts, dtype), spec=spec, kind=kind,
+      q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=2, tile_b=8,
+      interpret=True, structure=st)
+  x_out, P_out = pallas_bank.unpack_bank(xo_p, Po_p)
+
+  Q = jnp.asarray(np.diag(q_diag), dtype)
+  R = jnp.asarray(np.asarray(r_mat), dtype)
+  for i in range(B):
+    x, P = jnp.asarray(xs[i], dtype), jnp.asarray(Ps[:, :, i], dtype)
+    for t in range(T):
+      x, P = step_ops.predict(spec, {}, x, P, Q, dts[t])
+      x, P, _ = step_ops.update(spec, kind, {}, x, P,
+                                jnp.asarray(zs[t, i], dtype), R,
+                                jnp.asarray(eas[t, i], dtype))
+      x, P = step_ops.augment(spec, x, P)
+    assert float(jnp.abs(x - x_out[i]).max()) < 2e-5
+    assert float(jnp.abs(P - P_out[:, :, i]).max()) < 2e-4
