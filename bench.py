@@ -548,7 +548,8 @@ def bench_vo_eskf():
   B = int(os.environ.get("BENCH_BANK", 4096))
   T = int(os.environ.get("BENCH_STEPS", 64))
   chain_n = int(os.environ.get("BENCH_CHAIN", 4))
-  t_chunk = int(os.environ.get("BENCH_T_CHUNK", 8))
+  # tuned on v5e: t_chunk 16 > 32 > 8; tile_b 1024 > 2048 (B=4096 sweep)
+  t_chunk = int(os.environ.get("BENCH_T_CHUNK", 16))
   tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
   dtype = jnp.float32
   rng = np.random.RandomState(0)
@@ -599,6 +600,76 @@ def bench_vo_eskf():
       "value": round(frames_per_sec, 1),
       "unit": "frames/sec/chip",
       "vs_baseline": round(frames_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }
+
+
+def bench_car():
+  """CarKalman (paramsd-style vehicle-parameter estimation) at bank scale
+  with PER-STEP runtime control inputs — forward speed + commanded
+  steering streamed through SMEM into the fused generic kernel every tick
+  (the reference's global_vars-at-sensor-rate pattern, ekf_sym.py:129-132;
+  BENCH_MODEL=car)."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.car import (
+      DEFAULT_PARAMS,
+      CarKalman,
+      ObservationKind as CK,
+  )
+  from rednose_tpu.ops import pallas_bank, sparsity
+
+  spec = CarKalman.build_spec()
+  kind = int(CK.YAW_RATE)
+  B = int(os.environ.get("BENCH_BANK", 8192))
+  T = int(os.environ.get("BENCH_STEPS", 1024))
+  chain_n = int(os.environ.get("BENCH_CHAIN", 8))
+  t_chunk = int(os.environ.get("BENCH_T_CHUNK", 128))
+  tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
+  dtype = jnp.float32
+  rng = np.random.RandomState(0)
+
+  st = sparsity.structure_for(spec, CarKalman.initial_x)
+  q_diag = tuple(float(v) for v in np.diag(CarKalman.Q))
+  r_mat = ((0.001**2,),)
+  ps_keys = ('u', 'steer_angle_deg')
+  base = tuple((k, float(v)) for k, v in sorted(DEFAULT_PARAMS.items())
+               if k not in ps_keys)
+
+  xs = np.tile(np.asarray(CarKalman.initial_x), (B, 1)) \
+      + 0.05 * rng.randn(B, 5)
+  P = jnp.asarray(np.tile(np.diag(CarKalman.initial_P_diag)[..., None],
+                          (1, 1, B)), dtype)
+  zs = jnp.asarray(0.05 * rng.randn(T, B, 1), dtype)
+  pss = jnp.asarray(np.stack([18.0 + 6.0 * rng.rand(T),
+                              25.0 * np.sin(np.linspace(0, 20, T))],
+                             axis=1), dtype)
+  dts = jnp.full((T,), 0.05, dtype)
+
+  xp, Pp = pallas_bank.pack_bank(jnp.asarray(xs, dtype), P)
+  zsp = pallas_bank.pack_bank_measurements(zs)
+
+  @jax.jit
+  def chain(xp, Pp, zsp, pss):
+    s = jnp.asarray(0.0, dtype)
+    for i in range(chain_n):
+      xo, Po = pallas_bank.generic_bank_scan(
+          xp + 1e-6 * i, Pp, zsp, dts, None, pss, spec=spec, kind=kind,
+          q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=t_chunk,
+          tile_b=tile_b, structure=st, ps_keys=ps_keys, base_params=base)
+      s = s + jnp.sum(xo) + jnp.sum(Po)
+    return s
+
+  log("compiling car params-stream kernel...")
+  best = _time_chain(chain, (xp, Pp, zsp, pss))
+  steps_per_sec = (B * T * chain_n) / best
+  log(f"car params-stream kernel B={B}: best {best*1e3:.2f} ms for "
+      f"{chain_n} chained scans -> {steps_per_sec/1e6:.1f}M steps/s")
+  return {
+      "metric": "car_bank_params_stream_throughput_kernel",
+      "value": round(steps_per_sec, 1),
+      "unit": "steps/sec/chip",
+      "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
   }
 
 
@@ -672,6 +743,9 @@ def main():
   if model == "vo_eskf":
     print(json.dumps(bench_vo_eskf()))
     return
+  if model == "car":
+    print(json.dumps(bench_car()))
+    return
   if model == "kinematic":
     print(json.dumps(bench_kinematic()))
     return
@@ -692,6 +766,7 @@ def main():
       ("vo_lane", lambda: bench_vo(path="lane")),
       ("vo_kernel", lambda: bench_vo(path="kernel")),
       ("vo_eskf_kernel", bench_vo_eskf),
+      ("car_params_stream", bench_car),
       ("generic_entry", lambda: bench_generic(path="sparse")),
       ("generic_mixed", lambda: bench_generic(path="mixed")),
       ("generic_epoch", lambda: bench_generic(path="epoch")),

@@ -81,21 +81,36 @@ def _stack_rows(rows, zero_row):
 
 
 def _add_diag_iota(P, scale, diag):
-  """P + scale*diag on the diagonal via a broadcasted-iota mask — O(nnz)
-  ops instead of d per-row concatenates, no scatter, no array constants."""
+  """P + scale*diag on the diagonal via a broadcasted-iota mask — no
+  scatter, no array constants (Mosaic rules). CONTIGUOUS RUNS of equal
+  diag values emit ONE range mask each instead of one eq-mask per entry:
+  process-noise diagonals are block-structured (e.g. msckf_eskf: 5 runs
+  over 36 entries), so this cuts the in-kernel assembly from ~3*d slab
+  ops to ~3*runs (~7% of the whole composition frame's FLOPs)."""
   d = P.shape[0]
   bdims = P.ndim - 2
   shape = (d, d) + (1,) * bdims
   i4 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
   j4 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-  qrow = None
+  runs = []  # (lo, hi, value) maximal runs of equal nonzero values
   for k, q in enumerate(diag):
-    if q == 0.0:
-      continue
-    term = q * (i4 == k).astype(P.dtype)
-    qrow = term if qrow is None else qrow + term
-  if qrow is None:
+    if runs and runs[-1][1] == k and runs[-1][2] == q:
+      runs[-1][1] = k + 1
+    else:
+      runs.append([k, k + 1, q])
+  runs = [r for r in runs if r[2] != 0.0]
+  if not runs:
     return P
+  qrow = None
+  for lo, hi, q in runs:
+    if lo == 0 and hi == d:
+      mask = jnp.ones((), P.dtype)  # uniform diagonal: no mask needed
+      term = q * jnp.broadcast_to(mask, shape)
+    else:
+      m = (i4 >= lo) if hi == d else (
+          (i4 < hi) if lo == 0 else (i4 >= lo) & (i4 < hi))
+      term = q * m.astype(P.dtype)
+    qrow = term if qrow is None else qrow + term
   D = jnp.where(i4 == j4, qrow, jnp.zeros((), P.dtype))
   return P + scale * D
 

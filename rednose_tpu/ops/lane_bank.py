@@ -631,7 +631,8 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
 
 
 def lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple, params, x, P,
-                         Q, dts, zs, R_list, structure=None, eas=None):
+                         Q, dts, zs, R_list, structure=None, eas=None,
+                         ps_keys=(), pss=None):
   """T EPOCHS over a lane-major bank: one predict then K statically-
   unrolled updates per step — the reference's predict_and_update_batch
   shape (predict once at t, then every measurement of the epoch,
@@ -652,34 +653,41 @@ def lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple, params, x, P,
     assert eas.shape[:2] == zs.shape[:2] and eas.shape[-1] == max_ea, (
         f"eas {eas.shape}: want (T, K, B, {max_ea}) padded to the largest "
         f"slot ea_len, matching zs {zs.shape}")
+  assert (pss is None) == (len(ps_keys) == 0)
+
+  seq = {'dt': dts, 'z': zs}
+  if eas is not None:
+    seq['ea'] = eas
+  if pss is not None:
+    seq['ps'] = pss
 
   def body(carry, inp):
     xc, Pc = carry
-    dt, z_t, ea_t = inp
-    xc, Pc = lane_predict(spec, params, xc, Pc, Q, dt, structure=structure)
+    dt, z_t = inp['dt'], inp['z']
+    ea_t = inp.get('ea', z_t[:, :, :1] * 0.0)
+    ps_row = inp.get('ps')
+    p_t = params if ps_row is None else {
+        **params, **{k: ps_row[i] for i, k in enumerate(ps_keys)}}
+    xc, Pc = lane_predict(spec, p_t, xc, Pc, Q, dt, structure=structure)
     for k, kind in enumerate(slot_kinds):
       om = spec.obs[kind]
       ea_k = ea_t[k][:, :om.ea_len] if om.ea_len else None
-      xc, Pc, _ = lane_update(spec, kind, params, xc, Pc,
+      xc, Pc, _ = lane_update(spec, kind, p_t, xc, Pc,
                               z_t[k][:, :om.dz], R_list[k],
                               structure=structure, ea=ea_k)
     return (xc, Pc), None
 
-  if eas is None:
-    (x, P), _ = jax.lax.scan(
-        lambda c, i: body(c, i + (i[1][:, :, :1] * 0.0,)),
-        (x, P), (dts, zs))
-  else:
-    (x, P), _ = jax.lax.scan(body, (x, P), (dts, zs, eas))
+  (x, P), _ = jax.lax.scan(body, (x, P), seq)
   return x, P
 
 
 @functools.lru_cache(maxsize=None)
 def jit_lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple,
-                             structure=None):
-  def fn(params, x, P, Q, dts, zs, R_list, eas=None):
+                             structure=None, ps_keys=()):
+  def fn(params, x, P, Q, dts, zs, R_list, eas=None, pss=None):
     return lane_epoch_bank_scan(spec, slot_kinds, params, x, P, Q, dts,
-                                zs, R_list, structure=structure, eas=eas)
+                                zs, R_list, structure=structure, eas=eas,
+                                ps_keys=ps_keys, pss=pss)
   return jax.jit(fn)
 
 

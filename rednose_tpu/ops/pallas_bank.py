@@ -303,13 +303,16 @@ def _mixed_kernel(dts_ref, kinds_ref, *refs, spec, kinds, t_chunk: int,
 
 
 def _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate, structure,
-                     entry, x, P, z_t, ea_t, dt, base_params=()):
+                     entry, x, P, z_t, ea_t, dt, base_params=(),
+                     ps_keys=(), ps_row=None):
   """One fully-unrolled epoch step (one predict + K inline slot updates)
   on slab values — shared by _epoch_kernel's 'unroll' mode and the
   auto-mode op counter (epoch_flat_body_ops), so the count is exact."""
   from rednose_tpu.ops.entry_slab import entry_predict_slab, \
       entry_update_slab
   params = dict(base_params)
+  if ps_keys:
+    params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
   if entry:
     x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
   else:
@@ -388,7 +391,7 @@ EPOCH_UNROLL_OP_BUDGET = 2600
 
 @functools.lru_cache(maxsize=None)
 def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
-                        entry, has_ea, base_params=()) -> int:
+                        entry, has_ea, base_params=(), ps_keys=()) -> int:
   """Exact jaxpr op count of one flat epoch step at tiny slab shapes —
   the quantity the Mosaic compile budget actually sees."""
   dx, de = spec.dim_x, spec.dim_err
@@ -402,25 +405,36 @@ def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
   z_s = jax.ShapeDtypeStruct((K, max_dz) + b, f32)
   dt_s = jax.ShapeDtypeStruct((), f32)
 
-  def step(x, P, z_t, ea_t, dt):
+  def step(x, P, z_t, ea_t, dt, ps_row):
     return _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate,
                             structure, entry, x, P, z_t, ea_t, dt,
-                            base_params=base_params)
+                            base_params=base_params, ps_keys=ps_keys,
+                            ps_row=ps_row)
 
+  ps_s = jax.ShapeDtypeStruct((len(ps_keys),), f32) if ps_keys else None
   if has_ea:
     ea_s = jax.ShapeDtypeStruct((K, max_ea) + b, f32)
-    closed = jax.make_jaxpr(step)(x_s, P_s, z_s, ea_s, dt_s)
+    if ps_keys:
+      closed = jax.make_jaxpr(step)(x_s, P_s, z_s, ea_s, dt_s, ps_s)
+    else:
+      closed = jax.make_jaxpr(
+          lambda x, P, z_t, ea_t, dt: step(x, P, z_t, ea_t, dt, None))(
+              x_s, P_s, z_s, ea_s, dt_s)
   else:
-    closed = jax.make_jaxpr(
-        lambda x, P, z_t, dt: step(x, P, z_t, None, dt))(x_s, P_s, z_s,
-                                                         dt_s)
+    if ps_keys:
+      closed = jax.make_jaxpr(
+          lambda x, P, z_t, dt, ps: step(x, P, z_t, None, dt, ps))(
+              x_s, P_s, z_s, dt_s, ps_s)
+    else:
+      closed = jax.make_jaxpr(
+          lambda x, P, z_t, dt: step(x, P, z_t, None, dt, None))(
+              x_s, P_s, z_s, dt_s)
   return _num_eqns(closed.jaxpr)
 
 
-def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
-                  slot_kinds, t_chunk: int, q_diag, r_mats, gate: bool,
-                  structure, entry: bool, has_ea: bool, slot_mode: str,
-                  base_params=()):
+def _epoch_kernel(dts_ref, *refs, spec, slot_kinds, t_chunk: int, q_diag,
+                  r_mats, gate: bool, structure, entry: bool, has_ea: bool,
+                  slot_mode: str, base_params=(), ps_keys=()):
   """Epoch-batched step: ONE predict then K slot updates per time step —
   the reference's predict_and_update_batch shape (ekf_sym.py:484-531:
   predict once at t, then every measurement of the epoch) as a kernel
@@ -435,11 +449,12 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
       distinct kinds the epoch mixes (the structure _mixed_kernel already
       proves compilable; this is what lets live-complexity epochs — 4+
       distinct 22-dim kinds — reach the kernel at all)."""
-  if has_ea:
-    eas_ref, x_out_ref, p_out_ref = rest
-  else:
-    eas_ref = None
-    x_out_ref, p_out_ref = rest
+  refs = list(refs)
+  pss_ref = refs.pop(0) if ps_keys else None
+  x_in_ref, p_in_ref, zs_ref = refs[:3]
+  rest = refs[3:]
+  eas_ref = rest.pop(0) if has_ea else None
+  x_out_ref, p_out_ref = rest
 
   j = pl.program_id(1)
 
@@ -461,19 +476,27 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
       branch_of_slot.append(keys.index(key))
 
     branches = tuple(_update_branch(spec, kind, r_mat, gate, structure,
-                                    entry, base_params=base_params)
+                                    entry, ps_keys=ps_keys,
+                                    base_params=base_params)
                      for kind, r_mat in keys)
 
   def body(t, carry):
     x, P = carry
     dt = dts_ref[t, 0]
+    if ps_keys:
+      ps_row = jnp.stack([pss_ref[t, i] for i in range(len(ps_keys))])
+    else:
+      ps_row = dt * 0.0  # unused placeholder
     if slot_mode == 'switch':
+      params = dict(base_params)
+      if ps_keys:
+        params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
       if entry:
-        x, P = entry_predict_slab(spec, dict(base_params), x, P, q_diag,
-                                  dt, structure)
+        x, P = entry_predict_slab(spec, params, x, P, q_diag, dt,
+                                  structure)
       else:
-        x, P = generic_predict_slab(spec, dict(base_params), x, P, q_diag,
-                                    dt, structure=structure)
+        x, P = generic_predict_slab(spec, params, x, P, q_diag, dt,
+                                    structure=structure)
 
       def slot_body(k, carry_k):
         xk, Pk = carry_k
@@ -481,7 +504,6 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
         ea_row = (eas_ref[pl.ds(t, 1),
                           pl.ds(k, 1)].reshape(eas_ref.shape[2:])
                   if has_ea else xk[:1] * 0.0)
-        ps_row = dt * 0.0  # epoch kernel has no per-step params stream
         if len(branches) == 1:
           return branches[0](xk, Pk, z_row, ea_row, ps_row)
         bi = jnp.int32(branch_of_slot[0])
@@ -496,7 +518,8 @@ def _epoch_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, *rest, spec,
             if has_ea else None)
     return _epoch_step_flat(spec, slot_kinds, q_diag, r_mats, gate,
                             structure, entry, x, P, z_t, ea_t, dt,
-                            base_params=base_params)
+                            base_params=base_params, ps_keys=ps_keys,
+                            ps_row=ps_row if ps_keys else None)
 
   x, P = jax.lax.fori_loop(0, t_chunk, body, (x_out_ref[:], p_out_ref[:]))
   x_out_ref[:] = x
@@ -668,13 +691,14 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
     jax.jit,
     static_argnames=('spec', 'slot_kinds', 'q_diag', 'r_mats', 'gate',
                      't_chunk', 'tile_b', 'interpret', 'structure', 'entry',
-                     'slot_mode', 'base_params'))
+                     'slot_mode', 'base_params', 'ps_keys'))
 def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
-                            eas_packed=None, *, spec, slot_kinds, q_diag,
-                            r_mats, gate: bool = True, t_chunk: int = 32,
-                            tile_b: int = 1024, interpret: bool = False,
-                            structure=None, entry: bool = True,
-                            slot_mode: str = 'auto', base_params=()):
+                            eas_packed=None, pss=None, *, spec, slot_kinds,
+                            q_diag, r_mats, gate: bool = True,
+                            t_chunk: int = 32, tile_b: int = 1024,
+                            interpret: bool = False, structure=None,
+                            entry: bool = True, slot_mode: str = 'auto',
+                            base_params=(), ps_keys=()):
   """T EPOCHS, each one predict + K statically-unrolled updates — the
   reference's predict_and_update_batch semantics (predict once at t, then
   every measurement of the epoch, ekf_sym.py:484-531) at kernel speed.
@@ -724,6 +748,10 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   if eas_packed is not None:
     assert eas_packed.shape == (T, K, max_ea, SUBLANES, bsub), \
         eas_packed.shape
+  assert (pss is None) == (len(ps_keys) == 0), (
+      "pass pss (T, len(ps_keys)) iff ps_keys is non-empty")
+  if pss is not None:
+    assert pss.shape == (T, len(ps_keys)), (pss.shape, ps_keys)
   n_b, n_t = B // tile_b, T // t_chunk
 
   entry = entry and structure is not None
@@ -731,7 +759,8 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   if slot_mode == 'auto':
     flat_ops = epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate,
                                    structure, entry,
-                                   eas_packed is not None, base_params)
+                                   eas_packed is not None, base_params,
+                                   ps_keys)
     slot_mode = 'unroll' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
     logging.getLogger(__name__).info(
         "generic_bank_scan_epoch auto: flat body %d ops (budget %d) -> "
@@ -742,11 +771,20 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
       _epoch_kernel, spec=spec, slot_kinds=slot_kinds, t_chunk=t_chunk,
       q_diag=q_diag, r_mats=r_mats, gate=gate, structure=structure,
       entry=entry, has_ea=eas_packed is not None, slot_mode=slot_mode,
-      base_params=base_params)
+      base_params=base_params, ps_keys=ps_keys)
 
   in_specs = [
       pl.BlockSpec((t_chunk, 1), lambda i, j: (j, 0),
                    memory_space=pltpu.SMEM),
+  ]
+  operands = [dts.reshape(T, 1)]
+  if pss is not None:
+    n_ps = len(ps_keys)
+    in_specs.append(
+        pl.BlockSpec((t_chunk, n_ps), lambda i, j: (j, 0),
+                     memory_space=pltpu.SMEM))
+    operands.append(pss)
+  in_specs += [
       pl.BlockSpec((dx, SUBLANES, tile), lambda i, j: (0, 0, i),
                    memory_space=pltpu.VMEM),
       pl.BlockSpec((de, de, SUBLANES, tile), lambda i, j: (0, 0, 0, i),
@@ -754,7 +792,7 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
       pl.BlockSpec((t_chunk, K, max_dz, SUBLANES, tile),
                    lambda i, j: (j, 0, 0, 0, i), memory_space=pltpu.VMEM),
   ]
-  operands = [dts.reshape(T, 1), x_packed, P_packed, zs_packed]
+  operands += [x_packed, P_packed, zs_packed]
   if eas_packed is not None:
     in_specs.append(
         pl.BlockSpec((t_chunk, K, max_ea, SUBLANES, tile),

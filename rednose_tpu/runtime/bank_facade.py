@@ -155,7 +155,7 @@ class BankFacadeBase:
   # ----------------------------------------------------------------- runs
 
   def run_epochs(self, dts, zs, slot_kinds, R_by_slot=None,
-                 eas=None, slot_mode: str = 'auto'):
+                 eas=None, slot_mode: str = 'auto', pss=None, ps_keys=()):
     """T epochs, each one predict + K updates (the reference's
     predict_and_update_batch semantics at bank-kernel speed): slot_kinds
     is the static epoch layout (repeat a kind for several same-kind
@@ -170,10 +170,13 @@ class BankFacadeBase:
     updates inline while it fits the Mosaic compile budget (GNSS-class
     epochs); K-fat or live-complexity epochs route to the per-slot
     lax.switch dispatch whose branch regions stay at one-update size
-    (pallas_bank._epoch_kernel) — ANY epoch schedule reaches the kernel."""
+    (pallas_bank._epoch_kernel) — ANY epoch schedule reaches the kernel.
+    Per-EPOCH runtime params stream via ps_keys (static names) + pss
+    (T, len(ps_keys)) — see KalmanBank.run."""
     from rednose_tpu.ops import lane_bank, pallas_bank
 
     slot_kinds = tuple(int(k) for k in slot_kinds)
+    ps_keys = tuple(ps_keys)
     max_ea = max(self.spec.obs[k].ea_len for k in slot_kinds)
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
@@ -185,6 +188,7 @@ class BankFacadeBase:
     R_by_slot = [self._normalize_R(k, R)
                  for k, R in zip(slot_kinds, R_by_slot)]
     assert (eas is None) == (max_ea == 0)
+    assert (pss is None) == (len(ps_keys) == 0)
     if self.use_pallas and T % 8 == 0:
       t_chunk = largest_divisor(T, (32, 16, 8))   # epoch bodies are K-fat
       tile_b = self._tile_b()
@@ -194,22 +198,25 @@ class BankFacadeBase:
               if eas is not None else None)
       r_mats = tuple(tuple(tuple(float(v) for v in row)
                            for row in np.asarray(R)) for R in R_by_slot)
-      base_params = (self._static_params()
+      base_params = (self._static_params(ps_keys)
                      if hasattr(self, '_static_params') else ())
       xp, Pp = pallas_bank.generic_bank_scan_epoch(
-          xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp, spec=self.spec,
-          slot_kinds=slot_kinds, q_diag=self._q_diag, r_mats=r_mats,
-          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure,
-          slot_mode=slot_mode, base_params=base_params)
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp,
+          None if pss is None else jnp.asarray(pss, self.dtype),
+          spec=self.spec, slot_kinds=slot_kinds, q_diag=self._q_diag,
+          r_mats=r_mats, t_chunk=t_chunk, tile_b=tile_b,
+          structure=self.structure, slot_mode=slot_mode,
+          base_params=base_params, ps_keys=ps_keys)
       self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
     else:
       fn = lane_bank.jit_lane_epoch_bank_scan(self.spec, slot_kinds,
-                                              self.structure)
+                                              self.structure, ps_keys)
       R_list = tuple(jnp.asarray(R, self.dtype) for R in R_by_slot)
       self._x, self._P = fn(
           getattr(self, 'params', {}), self._x, self._P, self.Q,
           jnp.asarray(dts, self.dtype), jnp.asarray(zs, self.dtype),
-          R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype))
+          R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype),
+          pss=None if pss is None else jnp.asarray(pss, self.dtype))
     self.t += float(dts.sum())
     self._ring.clear()  # bulk runs are not observation-addressable
     return self

@@ -85,6 +85,48 @@ def _jit_frame_scan(spec: FilterSpec, kind: int, structure):
   return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_mixed_frame_scan(spec: FilterSpec, kinds: tuple, structure):
+  """Heterogeneous schedule over the lane bank where FEATURE steps also
+  augment the clone window: one predict + lax.switch over per-kind
+  branches per step (ops/lane_bank.lane_mixed_bank_scan's shape, plus
+  the augment on feature branches)."""
+  def _branch(i, k):
+    om = spec.obs[k]
+    dz = om.dz
+
+    def apply(xc, Pc, z, R_list, ea):
+      xn, Pn, _ = lane_bank.lane_update(
+          spec, k, {}, xc, Pc, z[:, :dz], R_list[i], structure=structure,
+          ea=ea if om.is_feature else None)
+      if om.is_feature:
+        xn, Pn = lane_bank.lane_augment(spec, xn, Pn)
+      return xn, Pn
+
+    return apply
+
+  branches = tuple(_branch(i, k) for i, k in enumerate(kinds))
+
+  def fn(x, P, Q, dts, kind_idx, zs, R_list, eas=None):
+    def body(carry, inp):
+      xc, Pc = carry
+      dt, ki, z, ea = inp
+      xc, Pc = lane_bank.lane_predict(spec, {}, xc, Pc, Q, dt,
+                                      structure=structure)
+      xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z, R_list, ea)
+      return (xc, Pc), None
+
+    if eas is None:
+      (x, P), _ = jax.lax.scan(
+          lambda c, i: body(c, i + (c[0][:, :1] * 0.0,)),
+          (x, P), (dts, kind_idx, zs))
+    else:
+      (x, P), _ = jax.lax.scan(body, (x, P), (dts, kind_idx, zs, eas))
+    return x, P
+
+  return jax.jit(fn)
+
+
 class MSCKFBank(BankFacadeBase):
   """B independent sliding-window MSCKF filters of one spec, stepped as
   one compiled program. Pass a model class (duck-typed like the shipped
@@ -263,6 +305,38 @@ class MSCKFBank(BankFacadeBase):
           jnp.asarray(R, self.dtype))
     self.t += float(dts.sum())
     self._ring.clear()  # bulk runs are not observation-addressable
+    return self
+
+  def run_mixed(self, dts, kind_idx, zs, kinds, R_by_kind=None, eas=None):
+    """T steps of a heterogeneous schedule MIXING camera frames with other
+    sensors — the reference's production flow (predict_and_observe per
+    sensor, predict_and_update_batch(augment=True) per camera frame,
+    ekf_sym.py:458-531) as ONE compiled scan: kinds is the static kind
+    set, kind_idx (T,) indexes into it; steps whose kind is the feature
+    kind run predict + projected feature update + window AUGMENT, other
+    steps predict + update. zs (T, B, max_dz) rows padded to the largest
+    dz; eas (T, B, ea_len) landmark rows (used only on feature steps;
+    required iff the schedule includes the feature kind). Lane path (a
+    lax.switch whose feature branch augments); per-kind R defaults to
+    obs_noise."""
+    kinds = tuple(int(k) for k in kinds)
+    dts = np.asarray(dts, np.float64)
+    T = dts.shape[0]
+    if T == 0:
+      return self
+    if R_by_kind is None:
+      R_by_kind = {k: self._default_R(k) for k in kinds}
+    R_by_kind = {k: self._normalize_R(k, R_by_kind[k]) for k in kinds}
+    has_feature = any(self.spec.obs[k].is_feature for k in kinds)
+    assert (eas is None) == (not has_feature)
+    fn = _jit_mixed_frame_scan(self.spec, kinds, self.structure)
+    R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
+    self._x, self._P = fn(
+        self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+        jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
+        R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype))
+    self.t += float(dts.sum())
+    self._ring.clear()
     return self
 
   def run(self, dts, zs, kind, R=None):

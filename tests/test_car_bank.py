@@ -204,3 +204,50 @@ def test_facade_run_pss_and_set_global():
     t += 0.05
     bank3.observe(t, kind, zs[step_i % T], R=R)
   assert float(jnp.abs(bank2.x - bank3.x).max()) > 1e-6
+
+
+def test_epoch_kernel_pss_matches_lane():
+  """Epoch schedule (one predict + yaw-rate AND slip update per step)
+  with the per-step params stream: epoch kernel (interpret) == epoch lane
+  scan == facade run_epochs."""
+  spec = CarKalman.build_spec()
+  st = sparsity.structure_for(spec, CarKalman.initial_x)
+  slot_kinds = (int(CK.YAW_RATE), int(CK.LATERAL_SLIP))
+  xs, Ps, _, dts, pss = _data(seed=5)
+  rng = np.random.RandomState(6)
+  zs = 0.1 * rng.randn(T, 2, B, 1)
+  R_list_np = (np.atleast_2d(0.001**2), np.atleast_2d(0.3**2))
+  f32 = jnp.float32
+
+  fn = lane_bank.jit_lane_epoch_bank_scan(spec, slot_kinds, st, PS_KEYS)
+  xl, Pl = fn(dict(DEFAULT_PARAMS), jnp.asarray(xs, f32),
+              jnp.asarray(Ps, f32), jnp.asarray(CarKalman.Q, f32),
+              jnp.asarray(dts, f32), jnp.asarray(zs, f32),
+              tuple(jnp.asarray(R, f32) for R in R_list_np),
+              pss=jnp.asarray(pss, f32))
+
+  q_diag = tuple(float(v) for v in np.diag(CarKalman.Q))
+  r_mats = tuple(tuple(tuple(float(v) for v in row) for row in R)
+                 for R in R_list_np)
+  base = tuple((k, float(v)) for k, v in sorted(DEFAULT_PARAMS.items())
+               if k not in PS_KEYS)
+  xp, Pp = pallas_bank.pack_bank(jnp.asarray(xs, f32),
+                                 jnp.asarray(Ps, f32))
+  zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs, f32))
+  xo_p, Po_p = pallas_bank.generic_bank_scan_epoch(
+      xp, Pp, zsp, jnp.asarray(dts, f32), None, jnp.asarray(pss, f32),
+      spec=spec, slot_kinds=slot_kinds, q_diag=q_diag, r_mats=r_mats,
+      t_chunk=4, tile_b=8, interpret=True, structure=st,
+      base_params=base, ps_keys=PS_KEYS)
+  xk, Pk = pallas_bank.unpack_bank(xo_p, Po_p)
+  np.testing.assert_allclose(np.asarray(xk), np.asarray(xl), rtol=2e-5,
+                             atol=2e-5)
+  np.testing.assert_allclose(np.asarray(Pk), np.asarray(Pl), rtol=2e-4,
+                             atol=2e-4)
+
+  # facade surface (lane path on CPU)
+  bank = KalmanBank(CarKalman, batch=B, dtype=jnp.float32, x0=xs)
+  bank.run_epochs(dts, zs, slot_kinds, R_by_slot=list(R_list_np),
+                  pss=pss, ps_keys=PS_KEYS)
+  np.testing.assert_allclose(np.asarray(bank.x), np.asarray(xl),
+                             rtol=1e-6, atol=1e-6)

@@ -14,7 +14,8 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
                                     "run_mixed_bank.py",
                                     "run_vo_pipeline.py",
                                     "run_compat_migration.py",
-                                    "run_car.py", "run_loc.py"])
+                                    "run_car.py", "run_loc.py",
+                                    "run_msckf_bank.py"])
 @pytest.mark.slow
 def test_example_runs(script, monkeypatch, capsys):
   monkeypatch.delenv("PLOT", raising=False)

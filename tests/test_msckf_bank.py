@@ -180,3 +180,46 @@ def test_save_load_roundtrip(tmp_path):
   np.testing.assert_array_equal(np.asarray(bank.x), np.asarray(bank2.x))
   np.testing.assert_array_equal(np.asarray(bank._P), np.asarray(bank2._P))
   assert bank2.t == bank.t
+
+
+def test_run_mixed_frames_and_sensors():
+  """Camera frames (augment) interleaved with position fixes in ONE
+  compiled scan (run_mixed) == the oracle sequence — the reference's
+  production flow shape (ekf_sym.py:458-531)."""
+  model = MSCKFEskf
+  T = 4
+  spec, kind, om, xs, eas_f, zs_f = _frame_data(model, T, seed=7)
+  pos_kind = int(EK.POSITION)
+  rng = np.random.RandomState(8)
+  zpos = xs[:, 0:3] + 0.1 * rng.randn(B, 3)
+  R_feat = np.eye(om.dz) * 0.01**2
+  Rp = np.eye(3) * 1.0
+  dts = np.full((T,), 0.05)
+  kinds = (pos_kind, kind)
+  kind_idx = np.array([1, 0, 1, 0], np.int32)  # frame, pos, frame, pos
+  max_dz = max(om.dz, 3)
+  zs = np.zeros((T, B, max_dz))
+  eas = np.zeros((T, B, om.ea_len))
+  for t in range(T):
+    if kind_idx[t] == 1:
+      zs[t, :, :om.dz] = zs_f[t]
+      eas[t] = eas_f[t]
+    else:
+      zs[t, :, :3] = zpos
+
+  bank = MSCKFBank(model, batch=B, dtype=jnp.float64, x0=xs)
+  bank.run_mixed(dts, kind_idx, zs, kinds,
+                 R_by_kind={pos_kind: Rp, kind: R_feat}, eas=eas)
+
+  def steps(i):
+    out = []
+    for t in range(T):
+      if kind_idx[t] == 1:
+        out.append((dts[t], kind, zs_f[t, i], R_feat, eas_f[t, i], True))
+      else:
+        out.append((dts[t], pos_kind, zpos[i], Rp, None, False))
+    return out
+
+  xo, Po = _oracle(spec, model, kind, xs, steps)
+  np.testing.assert_allclose(np.asarray(bank.x), xo, rtol=1e-9, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(bank._P), Po, rtol=1e-8, atol=1e-9)
