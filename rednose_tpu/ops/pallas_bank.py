@@ -344,11 +344,23 @@ def _update_branch(spec, kind, r_mat, gate, structure, entry, ps_keys=(),
   placeholder when ps_keys is empty). gate=True means the KIND's own
   maha_test flag decides (reference semantics: gating is a spec property,
   templates/ekf_c.c:88-94) — unlike the hand live kernel's gate flag,
-  which force-gates its position update."""
+  which force-gates its position update.
+
+  MSCKF FEATURE kinds get a camera-frame branch: nullspace-projected
+  feature update + window AUGMENT (the reference's
+  predict_and_update_batch(augment=True) flow, ekf_sym.py:525-526) — so
+  ONE mixed kernel interleaves camera frames with other sensors. An
+  over-budget feature body (the ESKFxMSCKF composition, ~3.6k ops) runs
+  as a 2-phase inner lax.switch (innovation / apply+augment) nested
+  inside the outer kind switch — each phase its own Mosaic region."""
   from rednose_tpu.ops.entry_slab import entry_update_slab
 
   om = spec.obs[kind]
   dz, mea = om.dz, om.ea_len
+
+  if om.is_feature:
+    return _feature_frame_branch(spec, kind, r_mat, gate, structure,
+                                 ps_keys, base_params)
 
   def apply(x, P, z_row, ea_row, ps_row):
     z = z_row[:dz]
@@ -363,6 +375,83 @@ def _update_branch(spec, kind, r_mat, gate, structure, entry, ps_keys=(),
     else:
       x, P, _ = generic_update_slab(spec, kind, params, x, P, z, r_mat,
                                     gate=g, structure=structure, ea=ea)
+    return x, P
+
+  return apply
+
+
+@functools.lru_cache(maxsize=None)
+def _feature_branch_ops(spec, kind, r_mat, gate, structure) -> int:
+  """Exact jaxpr op count of the flat feature-update+augment branch body
+  at tiny slab shapes (the per-region quantity the Mosaic budget sees)."""
+  from rednose_tpu.ops.entry_slab import entry_feature_update_slab
+  from rednose_tpu.ops.lane_bank import augment_slab
+
+  om = spec.obs[kind]
+  dx, de = spec.dim_x, spec.dim_err
+  b = (8, 8)
+  f32 = jnp.float32
+  sds = jax.ShapeDtypeStruct
+
+  def body(x, P, z, ea):
+    x, P, _ = entry_feature_update_slab(spec, kind, {}, x, P, z, r_mat,
+                                        gate, ea, structure=structure)
+    return augment_slab(spec, x, P)
+
+  closed = jax.make_jaxpr(body)(
+      sds((dx,) + b, f32), sds((de, de) + b, f32), sds((om.dz,) + b, f32),
+      sds((om.ea_len,) + b, f32))
+  return _num_eqns(closed.jaxpr)
+
+
+def _feature_frame_branch(spec, kind, r_mat, gate, structure, ps_keys,
+                          base_params):
+  """Camera-frame branch for the mixed kernel's kind switch: feature
+  update + augment, phase-split when the flat body is over budget."""
+  from rednose_tpu.ops.entry_slab import (
+      entry_feature_apply_slab,
+      entry_feature_innovation_slab,
+      entry_feature_update_slab,
+  )
+  from rednose_tpu.ops.lane_bank import augment_slab
+
+  om = spec.obs[kind]
+  dz, mea = om.dz, om.ea_len
+  g = gate and om.maha_test
+  split = _feature_branch_ops(spec, kind, r_mat, g,
+                              structure) > EPOCH_UNROLL_OP_BUDGET
+  dzp = dz - om.ea_dim
+
+  def apply(x, P, z_row, ea_row, ps_row):
+    z = z_row[:dz]
+    ea = ea_row[:mea]
+    params = dict(base_params)
+    if ps_keys:
+      params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
+    if not split:
+      x, P, _ = entry_feature_update_slab(spec, kind, params, x, P, z,
+                                          r_mat, g, ea,
+                                          structure=structure)
+      return augment_slab(spec, x, P)
+
+    def innov_phase(x, P, yp, HP, S):
+      yp, HP, S = entry_feature_innovation_slab(
+          spec, kind, params, x, P, z, r_mat, ea, structure=structure)
+      return x, P, yp, HP, S
+
+    def apply_phase(x, P, yp, HP, S):
+      x, P, _ = entry_feature_apply_slab(spec, kind, params, x, P, yp,
+                                         HP, S, g)
+      x, P = augment_slab(spec, x, P)
+      return x, P, yp, HP, S
+
+    yp0 = x[:dzp] * 0.0
+    HP0 = P[:dzp] * 0.0
+    S0 = P[:dzp, :dzp] * 0.0
+    x, P, _, _, _ = jax.lax.fori_loop(
+        0, 2,
+        lambda pi, c: jax.lax.switch(pi, (innov_phase, apply_phase), *c),
+        (x, P, yp0, HP0, S0))
     return x, P
 
   return apply

@@ -316,9 +316,11 @@ class MSCKFBank(BankFacadeBase):
     kind run predict + projected feature update + window AUGMENT, other
     steps predict + update. zs (T, B, max_dz) rows padded to the largest
     dz; eas (T, B, ea_len) landmark rows (used only on feature steps;
-    required iff the schedule includes the feature kind). Lane path (a
-    lax.switch whose feature branch augments); per-kind R defaults to
-    obs_noise."""
+    required iff the schedule includes the feature kind). On TPU the whole
+    schedule runs VMEM-resident (generic_bank_scan_mixed — its kind
+    switch carries a camera-frame branch, phase-split for the
+    composition); other backends / odd T take the lane scan (a lax.switch
+    whose feature branch augments). Per-kind R defaults to obs_noise."""
     kinds = tuple(int(k) for k in kinds)
     dts = np.asarray(dts, np.float64)
     T = dts.shape[0]
@@ -329,12 +331,30 @@ class MSCKFBank(BankFacadeBase):
     R_by_kind = {k: self._normalize_R(k, R_by_kind[k]) for k in kinds}
     has_feature = any(self.spec.obs[k].is_feature for k in kinds)
     assert (eas is None) == (not has_feature)
-    fn = _jit_mixed_frame_scan(self.spec, kinds, self.structure)
-    R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
-    self._x, self._P = fn(
-        self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
-        jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
-        R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype))
+    if self.use_pallas and T % 8 == 0:
+      # VMEM-resident mixed kernel: the kind switch carries a camera-frame
+      # branch (feature update + augment; phase-split for the composition)
+      t_chunk, tile_b = self._tiles(T)
+      xp, Pp = pallas_bank.pack_bank(self._x, self._P)
+      zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, self.dtype))
+      easp = (pallas_bank.pack_bank_measurements(
+          jnp.asarray(eas, self.dtype)) if eas is not None else None)
+      r_mats = tuple(tuple(tuple(float(v) for v in row)
+                           for row in R_by_kind[k]) for k in kinds)
+      xp, Pp = pallas_bank.generic_bank_scan_mixed(
+          xp, Pp, zsp, jnp.asarray(dts, self.dtype),
+          jnp.asarray(kind_idx, jnp.int32), easp, spec=self.spec,
+          kinds=kinds, q_diag=self._q_diag, r_mats=r_mats, gate=True,
+          t_chunk=t_chunk, tile_b=tile_b, structure=self.structure)
+      self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
+    else:
+      fn = _jit_mixed_frame_scan(self.spec, kinds, self.structure)
+      R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
+      self._x, self._P = fn(
+          self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+          jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
+          R_list,
+          eas=None if eas is None else jnp.asarray(eas, self.dtype))
     self.t += float(dts.sum())
     self._ring.clear()
     return self

@@ -223,3 +223,71 @@ def test_run_mixed_frames_and_sensors():
   xo, Po = _oracle(spec, model, kind, xs, steps)
   np.testing.assert_allclose(np.asarray(bank.x), xo, rtol=1e-9, atol=1e-10)
   np.testing.assert_allclose(np.asarray(bank._P), Po, rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", [MSCKFVisualOdometry, MSCKFEskf],
+                         ids=["additive", "eskf_composition"])
+def test_mixed_kernel_with_frame_branch(model):
+  """The generic mixed KERNEL whose kind switch carries a camera-frame
+  branch (feature update + window augment; phase-split inner switch for
+  the over-budget composition) == the lane mixed-frame scan, interpret
+  mode — the reference's full production flow in ONE VMEM-resident
+  kernel."""
+  from rednose_tpu.ops import pallas_bank, sparsity
+  from rednose_tpu.runtime.msckf_bank import _jit_mixed_frame_scan
+
+  T = 4
+  spec, kind, om, xs, eas_f, zs_f = _frame_data(model, T, seed=9)
+  st = sparsity.structure_for(spec, model.initial_x)
+  pos_kind = next(k for k, o in sorted(spec.obs.items())
+                  if not o.is_feature)
+  rng = np.random.RandomState(10)
+  zpos = xs[:, 0:3] + 0.1 * rng.randn(B, 3)
+  R_feat = np.eye(om.dz) * 0.01**2
+  Rp = np.eye(3) * 1.0
+  dts = np.full((T,), 0.05)
+  kinds = (pos_kind, kind)
+  kind_idx = np.array([1, 0, 1, 0], np.int32)
+  max_dz = max(om.dz, 3)
+  zs = np.zeros((T, B, max_dz))
+  eas = np.zeros((T, B, om.ea_len))
+  for t in range(T):
+    if kind_idx[t] == 1:
+      zs[t, :, :om.dz] = zs_f[t]
+      eas[t] = eas_f[t]
+    else:
+      zs[t, :, :3] = zpos
+  f32 = jnp.float32
+  Ps = np.tile(np.diag(model.initial_P_diag)[..., None], (1, 1, B))
+
+  fn = _jit_mixed_frame_scan(spec, kinds, st)
+  R_list = (jnp.asarray(Rp, f32), jnp.asarray(R_feat, f32))
+  xl, Pl = fn(jnp.asarray(xs, f32), jnp.asarray(Ps, f32),
+              jnp.asarray(model.Q, f32), jnp.asarray(dts, f32),
+              jnp.asarray(kind_idx), jnp.asarray(zs, f32), R_list,
+              eas=jnp.asarray(eas, f32))
+
+  q_diag = tuple(float(v) for v in np.diag(model.Q))
+  r_mats = (tuple(tuple(float(v) for v in row) for row in Rp),
+            tuple(tuple(float(v) for v in row) for row in R_feat))
+  # the composition's frame branch must be over budget (phase-split); the
+  # additive one flat
+  fops = pallas_bank._feature_branch_ops(spec, kind, r_mats[1], True, st)
+  if model is MSCKFEskf:
+    assert fops > pallas_bank.EPOCH_UNROLL_OP_BUDGET, fops
+  else:
+    assert fops <= pallas_bank.EPOCH_UNROLL_OP_BUDGET, fops
+  xp, Pp = pallas_bank.pack_bank(jnp.asarray(xs, f32),
+                                 jnp.asarray(Ps, f32))
+  zsp = pallas_bank.pack_bank_measurements(jnp.asarray(zs, f32))
+  easp = pallas_bank.pack_bank_measurements(jnp.asarray(eas, f32))
+  xo_p, Po_p = pallas_bank.generic_bank_scan_mixed(
+      xp, Pp, zsp, jnp.asarray(dts, f32), jnp.asarray(kind_idx), easp,
+      spec=spec, kinds=kinds, q_diag=q_diag, r_mats=r_mats, gate=True,
+      t_chunk=4, tile_b=8, interpret=True, structure=st)
+  xk, Pk = pallas_bank.unpack_bank(xo_p, Po_p)
+  np.testing.assert_allclose(np.asarray(xk), np.asarray(xl), rtol=5e-5,
+                             atol=5e-5)
+  np.testing.assert_allclose(np.asarray(Pk), np.asarray(Pl), rtol=5e-4,
+                             atol=5e-4)
