@@ -570,6 +570,12 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
   single-filter). The reference's real workload shape (several observation
   kinds at sensor rate, ekf_sym.cc:158-184) at bank scale for any model.
 
+  MSCKF FEATURE kinds get a camera-frame branch — projected feature
+  update + window AUGMENT (predict_and_update_batch(augment=True)
+  semantics, ekf_sym.py:525-526) — matching the kernel twin
+  (pallas_bank._update_branch), so a VIO schedule interleaving camera
+  frames with other sensors runs as one scan on either path.
+
   Args: kinds static tuple; kind_idx (T,) int32 indices into it; zs
   (T, B, max_dz) rows padded to the largest dz; R_list per-kind (dz, dz)
   noises aligned with `kinds` (traced — per-call values don't recompile);
@@ -601,6 +607,8 @@ def lane_mixed_bank_scan(spec: FilterSpec, kinds: tuple, params, x, P, Q,
       xn, Pn, _ = lane_update(spec, k, p_t, xc, Pc, z[:, :dz], Rl[i],
                               structure=structure,
                               ea=ea[:, :mea] if mea else None)
+      if om.is_feature:  # camera frame: clone the pose into the window
+        xn, Pn = lane_augment(spec, xn, Pn)
       return xn, Pn
 
     return apply
@@ -645,6 +653,9 @@ def lane_epoch_bank_scan(spec: FilterSpec, slot_kinds: tuple, params, x, P,
   slot kind takes extra args. Returns final (x (B, dim_x), P (de, de, B)).
   """
   slot_kinds = tuple(int(k) for k in slot_kinds)
+  assert not any(spec.obs[k].is_feature for k in slot_kinds), (
+      "MSCKF feature kinds are camera FRAMES (update + window augment), "
+      "not epoch slots: use MSCKFBank.run_frames / run_mixed")
   max_dz = max(spec.obs[k].dz for k in slot_kinds)
   max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
   assert zs.shape[1] == len(slot_kinds) and zs.shape[-1] == max_dz, zs.shape

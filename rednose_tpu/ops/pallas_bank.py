@@ -282,7 +282,10 @@ def _mixed_kernel(dts_ref, kinds_ref, *refs, spec, kinds, t_chunk: int,
     z = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])
     params = dict(base_params)
     if ps_keys:
-      ps_row = jnp.stack([pss_ref[t, i] for i in range(len(ps_keys))])
+      # a TUPLE of SMEM scalar reads, not a stacked rank-1 array: the
+      # tuple rides through lax.switch as a pytree of scalars, so no
+      # rank-1 value has to cross a Mosaic region boundary
+      ps_row = tuple(pss_ref[t, i] for i in range(len(ps_keys)))
       params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
     else:
       ps_row = dt * 0.0  # unused placeholder for the branches
@@ -573,7 +576,7 @@ def _epoch_kernel(dts_ref, *refs, spec, slot_kinds, t_chunk: int, q_diag,
     x, P = carry
     dt = dts_ref[t, 0]
     if ps_keys:
-      ps_row = jnp.stack([pss_ref[t, i] for i in range(len(ps_keys))])
+      ps_row = tuple(pss_ref[t, i] for i in range(len(ps_keys)))  # scalars
     else:
       ps_row = dt * 0.0  # unused placeholder
     if slot_mode == 'switch':
@@ -820,6 +823,9 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   T = zs_packed.shape[0]
   dx, de = spec.dim_x, spec.dim_err
   slot_kinds = tuple(int(k) for k in slot_kinds)
+  assert not any(spec.obs[k].is_feature for k in slot_kinds), (
+      "MSCKF feature kinds are camera FRAMES (update + window augment), "
+      "not epoch slots: use vo_bank_scan / generic_bank_scan_mixed")
   K = len(slot_kinds)
   max_dz = max(spec.obs[k].dz for k in slot_kinds)
   max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
@@ -975,6 +981,12 @@ def generic_bank_scan_mixed(x_packed, P_packed, zs_packed, dts, kind_idx,
       "pass pss (T, len(ps_keys)) iff ps_keys is non-empty")
   if pss is not None:
     assert pss.shape == (T, len(ps_keys)), (pss.shape, ps_keys)
+  if any(spec.obs[k].is_feature for k in kinds):
+    # camera-frame branches need the entry predict (MSCKF block form) and
+    # the structural taps for the composed feature H
+    assert structure is not None and entry, (
+        "a mixed schedule with MSCKF feature kinds needs a detected "
+        "structure (ops/sparsity.detect_structure) and entry=True")
   n_b, n_t = B // tile_b, T // t_chunk
 
   kernel = functools.partial(

@@ -41,6 +41,17 @@ class BankFacadeBase:
   for the divergence window guard).
   """
 
+  # runtime-tunable params (the reference's global_vars). Subclasses with
+  # a params surface (KalmanBank) replace these; the default is the
+  # empty-params contract every spec without default_params satisfies.
+  params: dict = {}
+
+  def _static_params(self, ps_keys=()):
+    """self.params minus the streamed keys, as the kernels' static (name,
+    float) tuple. The base facade carries no params."""
+    del ps_keys
+    return ()
+
   # ---------------------------------------------------------------- state
 
   @property
@@ -198,8 +209,7 @@ class BankFacadeBase:
               if eas is not None else None)
       r_mats = tuple(tuple(tuple(float(v) for v in row)
                            for row in np.asarray(R)) for R in R_by_slot)
-      base_params = (self._static_params(ps_keys)
-                     if hasattr(self, '_static_params') else ())
+      base_params = self._static_params(ps_keys)
       xp, Pp = pallas_bank.generic_bank_scan_epoch(
           xp, Pp, zsp, jnp.asarray(dts, self.dtype), easp,
           None if pss is None else jnp.asarray(pss, self.dtype),
@@ -213,7 +223,7 @@ class BankFacadeBase:
                                               self.structure, ps_keys)
       R_list = tuple(jnp.asarray(R, self.dtype) for R in R_by_slot)
       self._x, self._P = fn(
-          getattr(self, 'params', {}), self._x, self._P, self.Q,
+          self.params, self._x, self._P, self.Q,
           jnp.asarray(dts, self.dtype), jnp.asarray(zs, self.dtype),
           R_list, eas=None if eas is None else jnp.asarray(eas, self.dtype),
           pss=None if pss is None else jnp.asarray(pss, self.dtype))

@@ -85,48 +85,6 @@ def _jit_frame_scan(spec: FilterSpec, kind: int, structure):
   return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_mixed_frame_scan(spec: FilterSpec, kinds: tuple, structure):
-  """Heterogeneous schedule over the lane bank where FEATURE steps also
-  augment the clone window: one predict + lax.switch over per-kind
-  branches per step (ops/lane_bank.lane_mixed_bank_scan's shape, plus
-  the augment on feature branches)."""
-  def _branch(i, k):
-    om = spec.obs[k]
-    dz = om.dz
-
-    def apply(xc, Pc, z, R_list, ea):
-      xn, Pn, _ = lane_bank.lane_update(
-          spec, k, {}, xc, Pc, z[:, :dz], R_list[i], structure=structure,
-          ea=ea if om.is_feature else None)
-      if om.is_feature:
-        xn, Pn = lane_bank.lane_augment(spec, xn, Pn)
-      return xn, Pn
-
-    return apply
-
-  branches = tuple(_branch(i, k) for i, k in enumerate(kinds))
-
-  def fn(x, P, Q, dts, kind_idx, zs, R_list, eas=None):
-    def body(carry, inp):
-      xc, Pc = carry
-      dt, ki, z, ea = inp
-      xc, Pc = lane_bank.lane_predict(spec, {}, xc, Pc, Q, dt,
-                                      structure=structure)
-      xc, Pc = jax.lax.switch(ki, branches, xc, Pc, z, R_list, ea)
-      return (xc, Pc), None
-
-    if eas is None:
-      (x, P), _ = jax.lax.scan(
-          lambda c, i: body(c, i + (c[0][:, :1] * 0.0,)),
-          (x, P), (dts, kind_idx, zs))
-    else:
-      (x, P), _ = jax.lax.scan(body, (x, P), (dts, kind_idx, zs, eas))
-    return x, P
-
-  return jax.jit(fn)
-
-
 class MSCKFBank(BankFacadeBase):
   """B independent sliding-window MSCKF filters of one spec, stepped as
   one compiled program. Pass a model class (duck-typed like the shipped
@@ -253,10 +211,8 @@ class MSCKFBank(BankFacadeBase):
 
   def _apply_one(self, t, kind, z, R, ea, is_frame):
     dt = max(float(t) - self.t, 0.0)
-    om = self.spec.obs[kind]
     args = (self._x, self._P, self.Q, jnp.asarray(dt, self.dtype),
             jnp.asarray(z, self.dtype), jnp.asarray(R, self.dtype))
-    del om
     if is_frame:
       step = _jit_frame_step(self.spec, kind, self.structure)
       self._x, self._P = step(*args, jnp.asarray(ea, self.dtype))
@@ -348,10 +304,13 @@ class MSCKFBank(BankFacadeBase):
           t_chunk=t_chunk, tile_b=tile_b, structure=self.structure)
       self._x, self._P = pallas_bank.unpack_bank(xp, Pp)
     else:
-      fn = _jit_mixed_frame_scan(self.spec, kinds, self.structure)
+      # the shared lane twin: its feature branches augment, matching the
+      # kernel (ops/lane_bank.lane_mixed_bank_scan)
+      fn = lane_bank.jit_lane_mixed_bank_scan(self.spec, kinds,
+                                              self.structure)
       R_list = tuple(jnp.asarray(R_by_kind[k], self.dtype) for k in kinds)
       self._x, self._P = fn(
-          self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
+          {}, self._x, self._P, self.Q, jnp.asarray(dts, self.dtype),
           jnp.asarray(kind_idx, jnp.int32), jnp.asarray(zs, self.dtype),
           R_list,
           eas=None if eas is None else jnp.asarray(eas, self.dtype))

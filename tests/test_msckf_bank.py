@@ -234,8 +234,7 @@ def test_mixed_kernel_with_frame_branch(model):
   the over-budget composition) == the lane mixed-frame scan, interpret
   mode — the reference's full production flow in ONE VMEM-resident
   kernel."""
-  from rednose_tpu.ops import pallas_bank, sparsity
-  from rednose_tpu.runtime.msckf_bank import _jit_mixed_frame_scan
+  from rednose_tpu.ops import lane_bank, pallas_bank, sparsity
 
   T = 4
   spec, kind, om, xs, eas_f, zs_f = _frame_data(model, T, seed=9)
@@ -261,9 +260,9 @@ def test_mixed_kernel_with_frame_branch(model):
   f32 = jnp.float32
   Ps = np.tile(np.diag(model.initial_P_diag)[..., None], (1, 1, B))
 
-  fn = _jit_mixed_frame_scan(spec, kinds, st)
+  fn = lane_bank.jit_lane_mixed_bank_scan(spec, kinds, st)
   R_list = (jnp.asarray(Rp, f32), jnp.asarray(R_feat, f32))
-  xl, Pl = fn(jnp.asarray(xs, f32), jnp.asarray(Ps, f32),
+  xl, Pl = fn({}, jnp.asarray(xs, f32), jnp.asarray(Ps, f32),
               jnp.asarray(model.Q, f32), jnp.asarray(dts, f32),
               jnp.asarray(kind_idx), jnp.asarray(zs, f32), R_list,
               eas=jnp.asarray(eas, f32))
