@@ -76,6 +76,27 @@ def _acc(acc, term):
   return term if acc is None else acc + term
 
 
+def _tree_sum(terms):
+  """Balanced pairwise sum of a list of slabs (None entries dropped).
+
+  Cuts an n-deep left-fold add chain to ceil(log2 n) at identical FLOP
+  count. MEASURED PERF-NEUTRAL on both entry kernels (vo_eskf 13.2M
+  either way, generic live 155.7M either way, v5e A/B): Mosaic already
+  overlaps the dependent adds, so these bodies are not
+  accumulation-latency-bound. Kept because depth reduction is free and
+  principled — do NOT expect it to move a bench (the probe fallacy cuts
+  both ways, CLAUDE.md). Returns None when every term is None."""
+  terms = [t for t in terms if t is not None]
+  if not terms:
+    return None
+  while len(terms) > 1:
+    nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+    if len(terms) % 2:
+      nxt.append(terms[-1])
+    terms = nxt
+  return terms[0]
+
+
 def _stack_rows(rows, zero_row):
   return jnp.stack([r if r is not None else zero_row for r in rows])
 
@@ -168,13 +189,12 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
   # (measured ~1k ops of pure slicing before hoisting)
   P_rows = {k: P[k] for k in structure.g_cols}
   # M = G P, accumulated row-by-row over only the nonzero entries; G lives
-  # in the main block, so rows beyond it are zero
+  # in the main block, so rows beyond it are zero (tree-summed: the
+  # accumulation depth, not the FLOPs, bounds latency-limited bodies)
   m_rows = []
   for i in range(m_dim):
-    acc = None
-    for k in structure.g_cols:
-      acc = _acc(acc, _ent_mul(G[k][i], P_rows[k]))
-    m_rows.append(acc)
+    m_rows.append(_tree_sum(
+        [_ent_mul(G[k][i], P_rows[k]) for k in structure.g_cols]))
   # P' = P + M + M^T + N with N = M G^T = G P G^T. M is nonzero only on
   # the rows where G has entries (nz), and N only on (nz x nz), so work
   # on the COMPACT (r, ...) forms (the hand kernel's trick,
@@ -194,9 +214,8 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
     M_cols = {k: M_nz[:, k] for k in structure.g_cols}
     n_cols = []
     for j in nz:  # N columns are nonzero only for j in nz
-      acc = None
-      for k in structure.g_cols:
-        acc = _acc(acc, _ent_mul(G[k][j], M_cols[k]))
+      acc = _tree_sum([_ent_mul(G[k][j], M_cols[k])
+                       for k in structure.g_cols])
       n_cols.append(acc if acc is not None else M_nz[:, 0] * 0.0)
     N_half = 0.5 * jnp.stack(n_cols, axis=1)       # (r, r, *b)
     # V = M + 0.5 N (N spliced into M's nz columns); P' = P + (V + V^T).
@@ -288,14 +307,11 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
 
   zero_row = P[0] * 0.0  # (de, *b)
   # HP = H_err P: row r accumulates over the nonzero (r, c) entries
-  # (row slices hoisted — see entry_predict_slab)
+  # (row slices hoisted — see entry_predict_slab; tree-summed for depth)
   P_rows = {c: P[c] for c in cols}
-  hp_rows = []
-  for r in range(dz):
-    acc = None
-    for c in cols:
-      acc = _acc(acc, _ent_mul(taps[c][r], P_rows[c]))
-    hp_rows.append(acc)
+  hp_rows = [
+      _tree_sum([_ent_mul(taps[c][r], P_rows[c]) for c in cols])
+      for r in range(dz)]
   HP = _stack_rows(hp_rows, zero_row)  # (dz, de, *b)
 
   # S = HP H^T: S[r, s] = sum_c HP[r, c] * H[s, c]
@@ -304,9 +320,7 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
   for r in range(dz):
     row = []
     for s in range(dz):
-      acc = None
-      for c in cols:
-        acc = _acc(acc, _ent_mul(taps[c][s], HP_ent[r, c]))
+      acc = _tree_sum([_ent_mul(taps[c][s], HP_ent[r, c]) for c in cols])
       row.append(acc if acc is not None else zero * 0.0)
     s_rows.append(row)
 
@@ -402,14 +416,16 @@ def entry_feature_innovation_slab(spec: FilterSpec, kind: int, params, x,
   Hp = _apply_qt(refl, H)[me:]                       # (dz', nc, *b)
 
   dzp = dz - me
-  # HP = H_err P over the nonzero columns only (slices hoisted)
+  # HP = H_err P over the nonzero columns only (slices hoisted;
+  # tree-summed — the 24-term left fold was the composition's critical
+  # path, see _tree_sum)
   P_rows = {c: P[c] for c in cols}
   Hp_cols = [Hp[:, j] for j in range(nc)]            # each (dz', *b)
-  HP = sum(Hp_cols[j][:, None] * P_rows[cols[j]][None]
-           for j in range(nc))                       # (dz', de, *b)
+  HP = _tree_sum([Hp_cols[j][:, None] * P_rows[cols[j]][None]
+                  for j in range(nc)])               # (dz', de, *b)
   HP_cols = {c: HP[:, c] for c in cols}
-  S_hp = sum(HP_cols[cols[j]][:, None] * Hp_cols[j][None]
-             for j in range(nc))                     # (dz', dz', *b)
+  S_hp = _tree_sum([HP_cols[cols[j]][:, None] * Hp_cols[j][None]
+                    for j in range(nc)])             # (dz', dz', *b)
 
   # projected noise Q^T R Q: for the (usual) isotropic R = s^2 I it is
   # EXACTLY s^2 I — skip two Householder applications on (dz, dz) slabs
