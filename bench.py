@@ -530,9 +530,9 @@ def bench_vo_eskf():
   """The ESKFxMSCKF composition (models/msckf_eskf: 41/36 quaternion error
   state + full-pose clone window — the reference's joint msckf_params +
   eskf_params path, ekf_sym.py:57-66) at production bank scale through
-  the VMEM-resident VO kernel (BENCH_MODEL=vo_eskf). The flat frame body
-  is past the Mosaic op budget, so the kernel runs the 3-phase lax.switch
-  dispatch (ops/pallas_bank._vo_kernel phase_mode='switch')."""
+  the VMEM-resident VO kernel (BENCH_MODEL=vo_eskf). auto phase_mode
+  picks the FLAT frame body (4.4k ops compiles on v5e and beats the
+  2-/3-phase switch forms 22.2M > 17.8M > 16.8M frames/s)."""
   import jax
   import jax.numpy as jnp
 
@@ -589,7 +589,7 @@ def bench_vo_eskf():
       s = s + jnp.sum(xo) + jnp.sum(Po)
     return s
 
-  log("compiling ESKFxMSCKF VO kernel (3-phase switch; first compile is "
+  log("compiling ESKFxMSCKF VO kernel (flat body; first compile may be "
       "minutes-scale)...")
   best = _time_chain(chain, (xp, Pp, zsp, easp))
   frames_per_sec = (B * T * chain_n) / best

@@ -519,15 +519,19 @@ def entry_vo_frame_slab(spec: FilterSpec, kind: int, params, x, P, z, ea,
 
 
 def entry_vo_frame_branches(spec: FilterSpec, kind: int, params, q_diag,
-                            r_mat, structure, gate: bool):
-  """The VO frame as THREE lax.switch phase branches with one shared
-  signature — (x, P, yp, HP, S, z, ea, dt) -> (x, P, yp, HP, S) — so the
-  VO kernel can run one frame as fori_loop(0, 3) over a phase switch and
-  Mosaic compiles each phase as its own region. The flat composition body
+                            r_mat, structure, gate: bool,
+                            n_phases: int = 3):
+  """The VO frame as lax.switch phase branches with one shared signature
+  — (x, P, yp, HP, S, z, ea, dt) -> (x, P, yp, HP, S) — so the VO kernel
+  can run one frame as fori_loop(0, n) over a phase switch and Mosaic
+  compiles each phase as its own region. The flat composition body
   (models/msckf_eskf: 36-dim error state, 4.4k jaxpr ops) is past the
-  Mosaic compile budget; the largest phase here (~2.5k) matches the
-  proven GNSS flat-epoch size. Semantics are exactly
-  entry_vo_frame_slab's (parity: tests/test_entry_slab.py)."""
+  Mosaic compile budget; with n_phases=3 (predict / innovation /
+  apply+augment) the largest phase (~2.5k) matches the proven GNSS
+  flat-epoch size. n_phases=2 folds predict into the innovation phase
+  (~3.3k — above the soft budget but below the observed OOM point) to
+  trade compile headroom for one fewer region boundary. Semantics are
+  exactly entry_vo_frame_slab's (parity: tests/test_entry_slab.py)."""
   from rednose_tpu.ops.lane_bank import augment_slab
 
   def predict_phase(x, P, yp, HP, S, z, ea, dt):
@@ -540,10 +544,19 @@ def entry_vo_frame_branches(spec: FilterSpec, kind: int, params, q_diag,
                                               structure=structure)
     return x, P, yp, HP, S
 
+  def predict_innovation_phase(x, P, yp, HP, S, z, ea, dt):
+    x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
+    yp, HP, S = entry_feature_innovation_slab(spec, kind, params, x, P, z,
+                                              r_mat, ea,
+                                              structure=structure)
+    return x, P, yp, HP, S
+
   def apply_phase(x, P, yp, HP, S, z, ea, dt):
     x, P, _ = entry_feature_apply_slab(spec, kind, params, x, P, yp, HP,
                                        S, gate)
     x, P = augment_slab(spec, x, P)
     return x, P, yp, HP, S
 
+  if n_phases == 2:
+    return (predict_innovation_phase, apply_phase)
   return (predict_phase, innovation_phase, apply_phase)

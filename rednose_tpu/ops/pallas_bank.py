@@ -643,9 +643,10 @@ def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
     x_out_ref[:] = x_in_ref[:]
     p_out_ref[:] = p_in_ref[:]
 
-  if phase_mode == 'switch':
-    branches = entry_vo_frame_branches(spec, kind, {}, q_diag, r_mat,
-                                       structure, gate)
+  if phase_mode in ('switch', 'switch2'):
+    branches = entry_vo_frame_branches(
+        spec, kind, {}, q_diag, r_mat, structure, gate,
+        n_phases=2 if phase_mode == 'switch2' else 3)
     dzp = spec.obs[kind].dz - spec.obs[kind].ea_dim
 
     def body(k, carry):
@@ -661,7 +662,8 @@ def _vo_kernel(dts_ref, x_in_ref, p_in_ref, zs_ref, eas_ref, x_out_ref,
       def phase(pi, c):
         return jax.lax.switch(pi, branches, *c, z, ea, dt)
 
-      x, P, _, _, _ = jax.lax.fori_loop(0, 3, phase, (x, P, yp0, HP0, S0))
+      x, P, _, _, _ = jax.lax.fori_loop(0, len(branches), phase,
+                                        (x, P, yp0, HP0, S0))
       return (x, P)
   else:
     def body(k, carry):
@@ -699,6 +701,49 @@ def vo_flat_body_ops(spec, kind, q_diag, r_mat, gate, structure) -> int:
   return _num_eqns(closed.jaxpr)
 
 
+# VO-path compile budgets, measured on the v5e relay with the
+# ESKFxMSCKF composition (models/msckf_eskf, 41/36, flat frame body
+# 4443 ops): the FLAT body compiles and is the fastest form measured —
+# 22.2M frames/s vs 17.8M for the 2-phase switch and 16.8M for the
+# 3-phase (each Mosaic region boundary costs throughput). The epoch
+# kernel's 2600-op budget is NOT the VO ceiling: the 3933-op OOM was a
+# 4-distinct-kind 22-dim epoch body; the single-kind VO body at 4.4k
+# compiles fine. Budgets sit just above the measured-good points.
+VO_FLAT_OP_BUDGET = 4500
+# Largest-Mosaic-region budget for the VO 2-phase dispatch fallback: the
+# composition's predict+innovation region (~3.2k ops) compiles in 45 s.
+VO_SWITCH2_REGION_BUDGET = 3500
+
+
+@functools.lru_cache(maxsize=None)
+def vo_phase2_region_ops(spec, kind, q_diag, r_mat, gate,
+                         structure) -> int:
+  """Exact jaxpr op count of the 2-phase dispatch's LARGEST region
+  (predict + feature innovation) at tiny slab shapes."""
+  from rednose_tpu.ops.entry_slab import (
+      entry_feature_innovation_slab,
+      entry_predict_slab,
+  )
+
+  dx, de = spec.dim_x, spec.dim_err
+  om = spec.obs[kind]
+  b = (8, 8)
+  f32 = jnp.float32
+  sds = jax.ShapeDtypeStruct
+
+  def region(x, P, z, ea, dt):
+    x, P = entry_predict_slab(spec, {}, x, P, q_diag, dt, structure)
+    yp, HP, S = entry_feature_innovation_slab(spec, kind, {}, x, P, z,
+                                              r_mat, ea,
+                                              structure=structure)
+    return x, P, yp, HP, S
+
+  closed = jax.make_jaxpr(region)(
+      sds((dx,) + b, f32), sds((de, de) + b, f32), sds((om.dz,) + b, f32),
+      sds((om.ea_len,) + b, f32), sds((), f32))
+  return _num_eqns(closed.jaxpr)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('spec', 'kind', 'q_diag', 'r_mat', 'gate', 't_chunk',
@@ -718,8 +763,10 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
   msckf_params+eskf_params path, ekf_sym.py:57-66) as well as additive
   MSCKF specs: phase_mode='auto' counts the flat frame body's ops exactly
   (vo_flat_body_ops) and keeps the zero-dispatch flat form while it fits
-  the Mosaic budget; bigger bodies run as a 3-phase lax.switch
-  (predict / innovation / apply+augment), one Mosaic region per phase.
+  the measured Mosaic budget (the composition's 4.4k-op flat body
+  compiles and runs fastest); bigger bodies fall back to a 2-phase then
+  3-phase lax.switch (predict / innovation / apply+augment), one Mosaic
+  region per phase.
 
   Layouts mirror generic_bank_scan, plus eas_packed (T, ea_len, 8, B/8)
   per-frame per-lane feature positions."""
@@ -736,13 +783,23 @@ def vo_bank_scan(x_packed, P_packed, zs_packed, eas_packed, dts, *, spec,
   assert T % t_chunk == 0 and B % tile_b == 0, (T, t_chunk, B, tile_b)
   n_b, n_t = B // tile_b, T // t_chunk
 
-  assert phase_mode in ('auto', 'flat', 'switch'), phase_mode
+  assert phase_mode in ('auto', 'flat', 'switch', 'switch2'), phase_mode
   if phase_mode == 'auto':
+    # fewer Mosaic region boundaries measured strictly faster (the
+    # composition on v5e: flat 22.2M frames/s > switch2 17.8M > switch
+    # 16.8M) — pick the fewest-region form whose largest region fits
+    # the measured compile budget
     flat_ops = vo_flat_body_ops(spec, kind, q_diag, r_mat, gate, structure)
-    phase_mode = 'flat' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
+    if flat_ops <= VO_FLAT_OP_BUDGET:
+      phase_mode = 'flat'
+    elif vo_phase2_region_ops(spec, kind, q_diag, r_mat, gate,
+                              structure) <= VO_SWITCH2_REGION_BUDGET:
+      phase_mode = 'switch2'
+    else:
+      phase_mode = 'switch'
     logging.getLogger(__name__).info(
         "vo_bank_scan auto: flat frame body %d ops (budget %d) -> "
-        "phase_mode=%r", flat_ops, EPOCH_UNROLL_OP_BUDGET, phase_mode)
+        "phase_mode=%r", flat_ops, VO_FLAT_OP_BUDGET, phase_mode)
   kernel = functools.partial(_vo_kernel, spec=spec, kind=kind,
                              t_chunk=t_chunk, q_diag=q_diag, r_mat=r_mat,
                              gate=gate, structure=structure,

@@ -272,8 +272,23 @@ def test_entry_vo_kernel_interpret_matches_oracle():
                                 jnp.asarray(zs[t, i], dtype), R,
                                 jnp.asarray(eas[t, i], dtype))
       x, P = step_ops.augment(spec, x, P)
-    assert float(jnp.abs(x - x_out[i]).max()) < 2e-5
-    assert float(jnp.abs(P - P_out[:, :, i]).max()) < 2e-4
+    # 5e-5: f32 kernel vs f64 oracle; the tree-summed accumulations
+    # reassociate adds, shifting f32 rounding by ~1e-5 vs the old fold
+    assert float(jnp.abs(x - x_out[i]).max()) < 5e-5
+    assert float(jnp.abs(P - P_out[:, :, i]).max()) < 5e-4
+
+  # the 2-phase dispatch (predict folded into the innovation region —
+  # the fallback when a flat body is past the compile budget) must
+  # agree with the flat/3-phase forms on the same inputs
+  xo2_p, Po2_p = pallas_bank.vo_bank_scan(
+      xp, Pp, zsp, easp, jnp.asarray(dts, dtype), spec=spec, kind=kind,
+      q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=2, tile_b=8,
+      interpret=True, structure=st, phase_mode='switch2')
+  x2, P2 = pallas_bank.unpack_bank(xo2_p, Po2_p)
+  np.testing.assert_allclose(np.asarray(x2), np.asarray(x_out),
+                             rtol=1e-6, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(P2), np.asarray(P_out),
+                             rtol=1e-5, atol=1e-6)
 
 
 def test_entry_feature_update_anisotropic_R():
@@ -379,5 +394,20 @@ def test_entry_vo_kernel_eskf_composition_switch_mode():
                                 jnp.asarray(zs[t, i], dtype), R,
                                 jnp.asarray(eas[t, i], dtype))
       x, P = step_ops.augment(spec, x, P)
-    assert float(jnp.abs(x - x_out[i]).max()) < 2e-5
-    assert float(jnp.abs(P - P_out[:, :, i]).max()) < 2e-4
+    # 5e-5: f32 kernel vs f64 oracle; the tree-summed accumulations
+    # reassociate adds, shifting f32 rounding by ~1e-5 vs the old fold
+    assert float(jnp.abs(x - x_out[i]).max()) < 5e-5
+    assert float(jnp.abs(P - P_out[:, :, i]).max()) < 5e-4
+
+  # the 2-phase dispatch (predict folded into the innovation region —
+  # the fallback when a flat body is past the compile budget) must
+  # agree with the flat/3-phase forms on the same inputs
+  xo2_p, Po2_p = pallas_bank.vo_bank_scan(
+      xp, Pp, zsp, easp, jnp.asarray(dts, dtype), spec=spec, kind=kind,
+      q_diag=q_diag, r_mat=r_mat, gate=True, t_chunk=2, tile_b=8,
+      interpret=True, structure=st, phase_mode='switch2')
+  x2, P2 = pallas_bank.unpack_bank(xo2_p, Po2_p)
+  np.testing.assert_allclose(np.asarray(x2), np.asarray(x_out),
+                             rtol=1e-6, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(P2), np.asarray(P_out),
+                             rtol=1e-5, atol=1e-6)
