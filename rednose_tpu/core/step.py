@@ -106,7 +106,9 @@ def _predict_impl(spec, params, x, P, Q, dt, normalize):
     P_new = F @ P @ F.T
   else:
     Fm = F[:m, :m]
-    P_new = P
+    # Promote before the scatters: writing an f64 product into an f32 P is
+    # an unsafe-cast scatter (a FutureWarning today, an error in future JAX).
+    P_new = P.astype(jnp.result_type(P.dtype, Fm.dtype))
     P_new = P_new.at[:m, :m].set(Fm @ P[:m, :m] @ Fm.T)
     P_new = P_new.at[:m, m:].set(Fm @ P[:m, m:])
     P_new = P_new.at[m:, :m].set(P[m:, :m] @ Fm.T)

@@ -70,6 +70,10 @@ class ObservationKind:
       'camera odometric translation', 'camera odometric rotation',
       'ORB features', 'MSCKF test', 'Feature track test', 'Lane ecef point',
       'imu frame eulers', 'GLONASS pseudorange', 'GLONASS pseudorange rate',
+      # The reference's own names list stops at 21 and IndexErrors for the
+      # constellation-generic kinds (examples/live_kf.py:43-66 has 22 names
+      # for 24 kinds); the rebuild fixes that latent bug.
+      'pseudorange', 'pseudorange rate',
   ]
 
   @classmethod

@@ -264,14 +264,17 @@ class FilterEngine:
     return bool(ok)
 
   def rts_smooth(self, estimates, norm_quats=False, parallel=False,
-                 refine=None):
+                 refine=None, reference_seed=False):
     """Offline RTS smoothing of a list of Estimates (reference:
     ekf_sym.py:651-690). Delegates to the smoothing module; `parallel=True`
     selects the associative-scan parallel-in-time formulation (`refine`:
     Newton re-linearization passes for ESKF specs, see
-    smoothing/rts.rts_smooth_parallel)."""
+    smoothing/rts.rts_smooth_parallel). `reference_seed=True` (sequential
+    only) reproduces the reference's last-predicted-state boundary condition
+    for migration-exact tails (see smoothing/rts.rts_smooth)."""
     from rednose_tpu.smoothing.rts import smooth_estimates
 
     return smooth_estimates(self.spec, self.params, estimates,
                             norm_quats=norm_quats, parallel=parallel,
-                            dtype=self.dtype, refine=refine)
+                            dtype=self.dtype, refine=refine,
+                            reference_seed=reference_seed)

@@ -75,7 +75,8 @@ class KalmanBank(BankFacadeBase):
                dtype=jnp.float32, use_pallas: bool | None = None,
                structure='auto', t0: float = 0.0,
                max_rewind_age: float = 1.0, ckpt_every: int = 16,
-               ckpt_keep: int = 8, logger=logging):
+               ckpt_keep: int = 8,
+               ckpt_bytes: int | None = None, logger=logging):
     assert (model is None) != (spec is None), "pass a model class XOR spec="
     if model is not None:
       spec = model.build_spec()
@@ -133,7 +134,8 @@ class KalmanBank(BankFacadeBase):
           "static diagonal scalars); pass use_pallas=False")
     self.use_pallas = use_pallas
     self.max_rewind_age = max_rewind_age
-    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
+    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep,
+                                ckpt_bytes=ckpt_bytes)
     # runtime-tunable params (the reference's global_vars + set_<var>
     # setters, ekf_sym.py:129-132): traced into the lane programs (zero
     # recompile on set_global), static scalars in the kernels — per-step

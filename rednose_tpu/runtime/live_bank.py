@@ -39,7 +39,8 @@ class LiveKalmanBank(BankFacadeBase):
   def __init__(self, batch: int, x0=None, P_diag=None, Q=None,
                dtype=jnp.float32, use_pallas: bool | None = None,
                t0: float = 0.0, max_rewind_age: float = 1.0,
-               ckpt_every: int = 16, ckpt_keep: int = 8, logger=logging):
+               ckpt_every: int = 16, ckpt_keep: int = 8,
+               ckpt_bytes: int | None = None, logger=logging):
     self.batch = batch
     self.dtype = dtype
     x0 = LiveKalman.initial_x if x0 is None else np.asarray(x0)
@@ -80,7 +81,8 @@ class LiveKalmanBank(BankFacadeBase):
     # sparse bank-state snapshots + full observation buffer
     self.max_rewind_age = max_rewind_age
     self.logger = logger
-    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
+    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep,
+                                ckpt_bytes=ckpt_bytes)
 
   # spec/structure/_default_R power the shared run_epochs in
   # BankFacadeBase (the epoch path has no hand-derived live kernel; it

@@ -98,7 +98,8 @@ class MSCKFBank(BankFacadeBase):
                dtype=jnp.float32, use_pallas: bool | None = None,
                structure='auto', t0: float = 0.0,
                max_rewind_age: float = 1.0, ckpt_every: int = 16,
-               ckpt_keep: int = 8, logger=logging):
+               ckpt_keep: int = 8,
+               ckpt_bytes: int | None = None, logger=logging):
     assert (model is None) != (spec is None), "pass a model class XOR spec="
     if model is not None:
       spec = model.build_spec()
@@ -158,7 +159,8 @@ class MSCKFBank(BankFacadeBase):
           "structure; pass use_pallas=False")
     self.use_pallas = use_pallas
     self.max_rewind_age = max_rewind_age
-    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep)
+    self._ring = BankRewindRing(ckpt_every=ckpt_every, ckpt_keep=ckpt_keep,
+                                ckpt_bytes=ckpt_bytes)
 
   # --------------------------------------------------- per-observation API
 

@@ -66,6 +66,19 @@ class PyRewindRing:
     return self._t[-1] if self._t else None
 
 
+def _state_nbytes(state) -> int:
+  """Bytes retained by one snapshot: sum of .nbytes over array leaves of a
+  (possibly nested tuple/list/dict) state pytree. Non-array leaves count 0."""
+  nb = getattr(state, "nbytes", None)
+  if nb is not None:
+    return int(nb)
+  if isinstance(state, (tuple, list)):
+    return sum(_state_nbytes(s) for s in state)
+  if isinstance(state, dict):
+    return sum(_state_nbytes(v) for v in state.values())
+  return 0
+
+
 class BankRewindRing:
   """Sparse-checkpoint rewind ring for WIDE filter banks.
 
@@ -80,13 +93,25 @@ class BankRewindRing:
   references, not copies (same trick as the driver ring). Rewind window:
   ckpt_keep * ckpt_every observations back, clamped by max_rewind_age at
   can_rewind time — mirror of ekf_sym.cc:119-156 semantics at bank scale.
+
+  HBM retention: each retained snapshot PINS its device arrays — the default
+  ckpt_keep=8 on a B=65k live bank (x (23,B) f32 + P (22,22,B) f32 ≈ 127 MB)
+  holds ~1 GB of HBM. Bound it with `ckpt_bytes`: when the retained snapshot
+  bytes exceed the budget, the OLDEST snapshots (and their now-unreachable
+  observations) are dropped first, shrinking the rewind window instead of
+  OOMing the device. At least one snapshot is always kept. `retained_bytes()`
+  reports the current footprint.
   """
 
-  def __init__(self, ckpt_every: int = 16, ckpt_keep: int = 8):
+  def __init__(self, ckpt_every: int = 16, ckpt_keep: int = 8,
+               ckpt_bytes: int | None = None):
     if ckpt_every <= 0 or ckpt_keep <= 0:
       raise ValueError("ckpt_every and ckpt_keep must be positive")
+    if ckpt_bytes is not None and ckpt_bytes <= 0:
+      raise ValueError("ckpt_bytes must be positive when given")
     self.ckpt_every = ckpt_every
     self.ckpt_keep = ckpt_keep
+    self.ckpt_bytes = ckpt_bytes
     self._since_ckpt = 0
     self._ckpt_t: list[float] = []
     self._ckpt_state: list = []
@@ -108,16 +133,28 @@ class BankRewindRing:
       self._ckpt_t.append(t)
       self._ckpt_state.append(state)
       self._ckpt_idx.append(len(self._obs_t))
-      if len(self._ckpt_t) > self.ckpt_keep:
-        # trim to the new oldest snapshot: the obs up to and including the
-        # one that produced it are never replayed (rewinds restore AT it)
-        drop = self._ckpt_idx[-self.ckpt_keep]
-        del self._ckpt_t[:-self.ckpt_keep]
-        del self._ckpt_state[:-self.ckpt_keep]
-        del self._ckpt_idx[:-self.ckpt_keep]
-        del self._obs_t[:drop], self._obs[:drop]
-        self._ckpt_idx = [i - drop for i in self._ckpt_idx]
+      keep = self.ckpt_keep
+      if self.ckpt_bytes is not None:
+        per = _state_nbytes(state)
+        if per > 0:
+          keep = min(keep, max(1, self.ckpt_bytes // per))
+      if len(self._ckpt_t) > keep:
+        self._trim_to(keep)
     self._since_ckpt = (self._since_ckpt + 1) % self.ckpt_every
+
+  def _trim_to(self, keep: int):
+    # trim to the new oldest snapshot: the obs up to and including the
+    # one that produced it are never replayed (rewinds restore AT it)
+    drop = self._ckpt_idx[-keep]
+    del self._ckpt_t[:-keep]
+    del self._ckpt_state[:-keep]
+    del self._ckpt_idx[:-keep]
+    del self._obs_t[:drop], self._obs[:drop]
+    self._ckpt_idx = [i - drop for i in self._ckpt_idx]
+
+  def retained_bytes(self) -> int:
+    """Device bytes pinned by the retained snapshots."""
+    return sum(_state_nbytes(s) for s in self._ckpt_state)
 
   def rewind(self, t: float):
     """Roll back to the newest snapshot with time <= t. Returns

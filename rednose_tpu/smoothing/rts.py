@@ -58,7 +58,8 @@ def _smoother_gain(spec: FilterSpec, params, x_post, P_post, P_pred_next, dt):
 
 
 def rts_smooth(spec: FilterSpec, params, x_pred, P_pred, x_post, P_post, t,
-               norm_quats: bool = False, dts=None):
+               norm_quats: bool = False, dts=None,
+               reference_seed: bool = False):
   """Sequential (lax.scan) RTS backward pass.
 
   Args: stacked forward-pass results, time-major:
@@ -68,14 +69,21 @@ def rts_smooth(spec: FilterSpec, params, x_pred, P_pred, x_post, P_post, t,
   Returns (x_smooth, P_smooth) with the same leading shape. Only the main
   state block is smoothed; MSCKF augment slots pass through unchanged
   (reference: ekf_sym.py:677-686 slices [:d1]/[:d2]).
+
+  `reference_seed=True` reproduces the reference's boundary condition
+  bit-for-bit: ekf_sym.rts_smooth seeds the backward pass from the last
+  PREDICTED state (estimates[-1][0]/[2], ekf_sym.py:658-660), silently
+  dropping the final measurement. Use it when diffing a migration against
+  reference output; the default posterior seed is the textbook (more
+  accurate) boundary condition.
   """
   with jax.default_matmul_precision('float32'):  # see core/step.py note
     return _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
-                            norm_quats, dts)
+                            norm_quats, dts, reference_seed)
 
 
 def _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
-                     norm_quats, dts=None):
+                     norm_quats, dts=None, reference_seed=False):
   d1, d2 = spec.dim_main, spec.dim_main_err
   T = x_post.shape[0]
   if dts is None:
@@ -99,12 +107,20 @@ def _rts_smooth_impl(spec, params, x_pred, P_pred, x_post, P_post, t,
     P_s = 0.5 * (P_s + P_s.T)  # f32 covariance conditioning (see core/step.py)
     return (x_s, P_s), (x_s, P_s)
 
-  init = (x_post[T - 1], P_post[T - 1])
+  if reference_seed:
+    # ekf_sym.py:658-660: seed from the last PREDICTED state. The returned
+    # tail element is that predicted seed, exactly as the reference returns
+    # estimates[-1][0]/[2] as its newest smoothed entry.
+    init = (x_pred[T - 1], P_pred[T - 1])
+    tail = (x_pred[T - 1:], P_pred[T - 1:])
+  else:
+    init = (x_post[T - 1], P_post[T - 1])
+    tail = (x_post[T - 1:], P_post[T - 1:])
   # scan over k = T-2 .. 0: inputs are (filtered at k, predicted at k+1, dt_k)
   inputs = (x_post[:-1], P_post[:-1], x_pred[1:], P_pred[1:], dts)
   _, (xs, Ps) = jax.lax.scan(backward, init, inputs, reverse=True)
-  x_smooth = jnp.concatenate([xs, x_post[T - 1:]], axis=0)
-  P_smooth = jnp.concatenate([Ps, P_post[T - 1:]], axis=0)
+  x_smooth = jnp.concatenate([xs, tail[0]], axis=0)
+  P_smooth = jnp.concatenate([Ps, tail[1]], axis=0)
   return x_smooth, P_smooth
 
 
@@ -386,22 +402,28 @@ def _rts_smooth_parallel_impl(spec, params, x_pred, P_pred, x_post, P_post,
 
 @functools.lru_cache(maxsize=None)
 def _jit_rts(spec: FilterSpec, norm_quats: bool, parallel: bool,
-             refine: int | None = None):
+             refine: int | None = None, reference_seed: bool = False):
   if parallel:
     return jax.jit(functools.partial(rts_smooth_parallel, spec,
                                      norm_quats=norm_quats, refine=refine))
-  return jax.jit(functools.partial(rts_smooth, spec, norm_quats=norm_quats))
+  return jax.jit(functools.partial(rts_smooth, spec, norm_quats=norm_quats,
+                                   reference_seed=reference_seed))
 
 
 def smooth_estimates(spec: FilterSpec, params, estimates,
                      norm_quats: bool = False, parallel: bool = False,
-                     dtype=None, refine: int | None = None):
+                     dtype=None, refine: int | None = None,
+                     reference_seed: bool = False):
   """Driver-facing entry point consuming a list of 9-tuple Estimates
   (reference signature: ekf_sym.py:651 rts_smooth(estimates, norm_quats)).
 
   Returns a list of smoothed (x, P) pairs, newest last, matching the
   reference's return ordering (ekf_sym.py:657-690 builds backwards then the
   caller reverses; we return time-ascending which is what downstream uses).
+
+  `reference_seed=True` (sequential path only) reproduces the reference's
+  last-predicted-state boundary condition for migration diffs — see
+  rts_smooth.
   """
   if len(estimates) <= 1:
     return [(np.asarray(e[1]).flatten(), np.asarray(e[3])) for e in estimates]
@@ -416,7 +438,8 @@ def smooth_estimates(spec: FilterSpec, params, estimates,
   # difference timestamps on the host in float64: epoch-scale t cast to f32
   # first would quantize dt (see runtime/scan.py pad_log)
   dts = jnp.asarray(t64[1:] - t64[:-1], dtype=dtype)
-  fn = _jit_rts(spec, norm_quats, parallel, refine)  # cached compiled program
+  fn = _jit_rts(spec, norm_quats, parallel, refine,
+                reference_seed and not parallel)  # cached compiled program
   xs, Ps = fn(params, x_pred, P_pred, x_post, P_post, t, dts=dts)
   xs = np.asarray(xs)
   Ps = np.asarray(Ps)

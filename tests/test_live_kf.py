@@ -188,3 +188,17 @@ def test_f_lane_matches_jacfwd():
   F_ref0 = np.asarray(spec.F({}, jnp.asarray(xs[0]), 0.05))
   np.testing.assert_allclose(F_lane0[:, :, 0], F_ref0, rtol=1e-12,
                              atol=1e-12)
+
+
+def test_observation_kind_names_cover_all_kinds():
+  """The reference's names list stops at 21 and IndexErrors for
+  PSEUDORANGE(22)/PSEUDORANGE_RATE(23) (examples/live_kf.py:43-66); the
+  rebuild fixes that: every enum kind has a printable name."""
+  kinds = {v: k for k, v in vars(ObservationKind).items()
+           if isinstance(v, int)}
+  assert max(kinds) == 23
+  for kind in kinds:
+    assert isinstance(ObservationKind.to_string(kind), str)
+  assert ObservationKind.to_string(ObservationKind.PSEUDORANGE) == 'pseudorange'
+  assert (ObservationKind.to_string(ObservationKind.PSEUDORANGE_RATE)
+          == 'pseudorange rate')

@@ -102,3 +102,41 @@ def test_driver_uses_ring_out_of_order():
   assert kf.filter.predict_and_update_batch(
       -10.0, ObservationKind.POSITION, [[0.0]],
       np.full((1, 1, 1), 0.01)) is None  # too old -> rejected
+
+
+def test_bank_ring_ckpt_bytes_budget():
+  """ckpt_bytes bounds the HBM pinned by BankRewindRing snapshots: when the
+  per-snapshot footprint times ckpt_keep exceeds the budget, the OLDEST
+  snapshots are dropped (shrinking the rewind window) and retained_bytes()
+  stays within budget. Rewind still works against the surviving window."""
+  per = np.zeros((1024,), dtype=np.float32).nbytes  # 4 KiB per snapshot
+  ring = rw.BankRewindRing(ckpt_every=1, ckpt_keep=8, ckpt_bytes=3 * per)
+  for i in range(10):
+    ring.record(float(i), np.zeros((1024,), dtype=np.float32) + i, f'o{i}')
+  # budget allows 3 snapshots, not the configured 8
+  assert ring.retained_bytes() <= 3 * per
+  assert len(ring._ckpt_t) == 3
+  t0, state, replay = ring.rewind(8.5)
+  assert t0 == 8.0 and float(state[0]) == 8.0
+  assert replay == ['o9']
+  with pytest.raises(ValueError):
+    ring.rewind(5.0)  # older than the byte-bounded window
+
+  # pytree (tuple-of-arrays) states are measured leaf-wise
+  ring2 = rw.BankRewindRing(ckpt_every=1, ckpt_keep=8, ckpt_bytes=2 * per)
+  for i in range(6):
+    state = (np.zeros((512,), np.float32), np.zeros((512,), np.float32))
+    ring2.record(float(i), state, i)
+  assert ring2.retained_bytes() <= 2 * per
+  assert len(ring2._ckpt_t) == 2
+
+  with pytest.raises(ValueError):
+    rw.BankRewindRing(ckpt_bytes=0)
+
+
+def test_bank_ring_unbudgeted_keeps_ckpt_keep():
+  ring = rw.BankRewindRing(ckpt_every=1, ckpt_keep=4)
+  for i in range(10):
+    ring.record(float(i), np.zeros((8,), np.float32), i)
+  assert len(ring._ckpt_t) == 4
+  assert ring.retained_bytes() == 4 * 32

@@ -75,6 +75,45 @@ def test_parallel_rts_matches_sequential():
   np.testing.assert_allclose(Ps_par, Ps_seq, rtol=1e-8, atol=1e-10)
 
 
+def _numpy_rts_reference(estimates):
+  """The REFERENCE's recursion (ekf_sym.py:651-690), independently rewritten:
+  seeds the backward pass from the last PREDICTED state, so the final
+  measurement is dropped from the smoothed tail."""
+  x_pred = np.stack([np.asarray(e[0]).reshape(-1) for e in estimates])
+  x_post = np.stack([np.asarray(e[1]).reshape(-1) for e in estimates])
+  P_pred = np.stack([np.asarray(e[2]) for e in estimates])
+  P_post = np.stack([np.asarray(e[3]) for e in estimates])
+  t = np.array([e[4] for e in estimates])
+  T = len(estimates)
+  xs, Ps = x_post.copy(), P_post.copy()
+  xs[T - 1], Ps[T - 1] = x_pred[T - 1], P_pred[T - 1]
+  for k in range(T - 2, -1, -1):
+    dt = t[k + 1] - t[k]
+    F = np.array([[1.0, dt], [0.0, 1.0]])
+    C = P_post[k] @ F.T @ np.linalg.inv(P_pred[k + 1])
+    xs[k] = x_post[k] + C @ (xs[k + 1] - x_pred[k + 1])
+    Ps[k] = P_post[k] + C @ (Ps[k + 1] - P_pred[k + 1]) @ C.T
+  return xs, Ps
+
+
+def test_reference_seed_matches_reference_recursion():
+  """reference_seed=True reproduces ekf_sym.rts_smooth's boundary condition
+  (seed = last predicted state) for migration diffs; the default (posterior
+  seed) must differ at the tail."""
+  kf, estimates, _ = _run_filter()
+  ref = kf.filter.rts_smooth(estimates, reference_seed=True)
+  xs_ref = np.stack([s[0] for s in ref])
+  Ps_ref = np.stack([s[1] for s in ref])
+  xs_np, Ps_np = _numpy_rts_reference(estimates)
+  np.testing.assert_allclose(xs_ref, xs_np, rtol=1e-9, atol=1e-12)
+  np.testing.assert_allclose(Ps_ref, Ps_np, rtol=1e-9, atol=1e-12)
+  # and the default seed keeps the final measurement: tails differ
+  default = kf.filter.rts_smooth(estimates)
+  assert not np.allclose(default[-1][0], xs_ref[-1])
+  np.testing.assert_allclose(default[-1][0],
+                             np.asarray(estimates[-1][1]).reshape(-1))
+
+
 def test_smoothing_reduces_rmse():
   kf, estimates, truth = _run_filter()
   smoothed = kf.filter.rts_smooth(estimates)
