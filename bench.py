@@ -460,10 +460,11 @@ def bench_vo(path=None):
   R = jnp.asarray(np.eye(om.dz) * 0.02**2, dtype)
   # per-frame landmark + its projected observation from the nominal state
   eas = np.array([2.0, 1.5, 8.0])[None, None] + 0.2 * rng.randn(T, B, 3)
-  zs = np.stack([
-      np.stack([np.asarray(om.h({}, jnp.asarray(x0), jnp.asarray(e)))
-                for e in eas[t, :8]]).mean(0)[None].repeat(B, 0)
-      for t in range(T)])
+  # one jitted vmap for the T*8 projections — the eager per-landmark loop
+  # paid the ~28 ms relay RTT per op (~14 min of setup on a cold process)
+  hv = jax.jit(jax.vmap(lambda e: om.h({}, jnp.asarray(x0), e)))
+  zs = np.asarray(hv(jnp.asarray(eas[:, :8].reshape(-1, 3)))) \
+      .reshape(T, 8, om.dz).mean(1)[:, None].repeat(B, 1)
   zs = jnp.asarray(zs + 0.01 * rng.randn(*zs.shape), dtype)
   eas_j = jnp.asarray(eas, dtype)
 
@@ -600,6 +601,176 @@ def bench_vo_eskf():
       "value": round(frames_per_sec, 1),
       "unit": "frames/sec/chip",
       "vs_baseline": round(frames_per_sec / BASELINE_STEPS_PER_SEC, 3),
+  }
+
+
+def bench_vio_pipeline():
+  """End-to-end VIO at the reference design point, ONE compiled path
+  (BENCH_MODEL=vio_pipeline): synthetic tracker frames -> the 6000-track x
+  3000-feature store merge (msckf/feature_handler.py, the reference's
+  feature_handler.c:23-26 capacities) -> harvest of the frame's completed
+  tracks -> batched Gauss-Newton triangulation (msckf/triangulation.py,
+  compute_pos.c:10-52) -> the triangulated landmarks streamed into the
+  banked VO Pallas kernel as that frame's feature observations. The whole
+  flow is one jit: a lax.scan over camera frames (merge + harvest +
+  triangulate) feeding one vo_bank_scan — the composed "full MSCKF flow"
+  number, not just the kernel leg.
+
+  Synthetic tracker: cohorts of 750 tracks born per frame, each completing
+  after K=4 observations, so every frame merges 3000 feature rows (3
+  continuing cohorts + 1 new) and harvests 750 completed tracks — the
+  store cycles at steady state. Observations are exact pinhole projections
+  of per-track landmarks from a shared camera path, so GN converges and
+  the kernel's maha gate passes."""
+  import jax
+  import jax.numpy as jnp
+
+  from rednose_tpu.models.msckf_vo import (
+      ObservationKind as VK,
+      build_msckf_vo_spec,
+  )
+  from rednose_tpu.msckf import feature_handler as fh
+  from rednose_tpu.msckf.triangulation import compute_pos_batch
+  from rednose_tpu.ops import pallas_bank, sparsity
+  from rednose_tpu.ops.quaternion import quat_to_rot
+
+  spec = build_msckf_vo_spec()
+  kind = int(VK.MSCKF_TEST)
+  om = spec.obs[kind]
+  K = spec.n_augment                       # 4-observation tracks
+  N_TRACKS, N_FEATS = fh.DEFAULT_N_TRACKS, fh.DEFAULT_N_FEATURES  # 6000/3000
+  COHORT = N_FEATS // K                    # 750 born + 750 completed / frame
+  M = 768                                  # static harvest capacity (>=750)
+  B = int(os.environ.get("BENCH_BANK", 4096))
+  T = int(os.environ.get("BENCH_STEPS", 32))
+  chain_n = int(os.environ.get("BENCH_CHAIN", 2))
+  tile_b = int(os.environ.get("BENCH_TILE_B", 1024))
+  dtype = jnp.float32
+  rng = np.random.RandomState(0)
+
+  # ---- shared camera path + per-slot landmarks (exact projections) ------
+  to_c = np.eye(3)
+  poses = np.zeros((K, 7))
+  for k in range(K):
+    poses[k, 0:3] = [0.2 * k, -0.1 * k, 0.0]
+    poses[k, 3] = 1.0  # identity attitude
+  land = np.array([1.0, 2.0, 10.0])[None] + \
+      np.concatenate([0.5 * rng.randn(N_TRACKS, 2),
+                      1.0 + 0.2 * rng.randn(N_TRACKS, 1)], axis=1)
+  # uv_table[s, k]: projection of slot s's landmark from window pose k
+  rel = land[:, None, :] - poses[None, :, :3]          # (S, K, 3)
+  uv_table = rel[..., :2] / rel[..., 2:3]              # identity rotations
+
+  # ---- steady-state store prefill + the (T, 3000, 5) feature stream -----
+  # cohort blocks at slots [1 + a*COHORT, 1 + (a+1)*COHORT), a in 0..3.
+  # Steady state at frame t: block t%4 (completed last frame) is HARVESTED
+  # and its slots re-allocated to the new cohort (merge's cumsum allocator
+  # consumes empty slots ascending — the cleared block sorts first);
+  # block (t+1)%4 receives its 4th observation and completes; blocks
+  # (t+2)%4 / (t+3)%4 get observations 3 / 2.
+  tracks0 = np.zeros((N_TRACKS, K + 1, 5))
+  tracks0[0, 0, fh.H_COUNT] = -1.0         # reserve slot 0 (pipeline.py)
+  for a in range(K):
+    slots = np.arange(1 + a * COHORT, 1 + (a + 1) * COHORT)
+    count = K - a                          # a=0: COMPLETE, harvested frame 0
+    tracks0[slots, 0, fh.H_COUNT] = count
+    tracks0[slots, 0, fh.H_LAST_ID] = slots
+    if a == 0:
+      tracks0[slots, 0, fh.H_COMPLETE] = 1.0
+      tracks0[slots, 0, fh.H_VALID] = 1.0
+    for c in range(count):
+      tracks0[slots, 1 + c, 2:4] = uv_table[slots, c]
+  feats = np.full((T, N_FEATS, 5), -1.0)
+  for t in range(T):
+    row = 0
+    for a in range(K):   # a=0: newborn cohort (obs 0); a=1: completing (3)
+      blk = (t + a) % K
+      slots = np.arange(1 + blk * COHORT, 1 + (blk + 1) * COHORT)
+      oi = 0 if a == 0 else K - a
+      feats[t, row:row + COHORT, 1] = slots       # next_id
+      feats[t, row:row + COHORT, 4] = slots       # match
+      feats[t, row:row + COHORT, 2:4] = uv_table[slots, oi]
+      row += COHORT
+  feats = jnp.asarray(feats, dtype)
+
+  # ---- VO bank init (as bench_vo) ----------------------------------------
+  st = sparsity.detect_structure(spec, np.zeros(spec.dim_x))
+  x0 = np.concatenate([[0.1, -0.2, 0.05, 0.0, 0.0, 0.0][:spec.dim_main],
+                       0.3 * rng.randn(spec.n_augment * spec.dim_augment)])
+  x = jnp.asarray(np.tile(x0, (B, 1)) + 0.02 * rng.randn(B, spec.dim_x),
+                  dtype)
+  P = jnp.asarray(np.tile(np.eye(spec.dim_err)[..., None] * 0.1, (1, 1, B)),
+                  dtype)
+  q_diag = tuple([1e-6] * spec.dim_err)
+  r_mat = tuple(tuple((0.02**2 if i == j else 0.0) for j in range(om.dz))
+                for i in range(om.dz))
+  # zs from the nominal state at the mean landmark (gate passes, bench_vo)
+  z0 = np.asarray(om.h({}, jnp.asarray(x0), jnp.asarray([1.0, 2.0, 11.0])))
+  zs = jnp.asarray(z0[None, None] + 0.01 * rng.randn(T, B, om.dz), dtype)
+  xp, Pp = pallas_bank.pack_bank(x, P)
+  zsp = pallas_bank.pack_bank_measurements(zs)
+  dts = jnp.full((T,), 0.05, dtype)
+  lane_map = jnp.asarray(np.arange(B) % COHORT, jnp.int32)
+  poses_j = jnp.asarray(np.tile(poses, (M, 1, 1)), dtype)
+  to_c_j = jnp.asarray(to_c, dtype)
+  tracks0_j = jnp.asarray(tracks0, dtype)
+
+  @jax.jit
+  def pipeline(tracks, feats, xp, Pp, zsp):
+    def frame(tr, feats_t):
+      # harvest FIRST (pipeline.py pose/observation alignment)
+      hdr = tr[:, 0]
+      done = (hdr[:, fh.H_COMPLETE] == 1.0) & (hdr[:, fh.H_VALID] == 1.0)
+      keys = jnp.where(done, jnp.arange(N_TRACKS), N_TRACKS)
+      sel = jnp.sort(keys)[:M]
+      sel_c = jnp.clip(sel, 0, N_TRACKS - 1)
+      img = tr[sel_c, 1:, 2:4]                        # (M, K, 2)
+      tr = tr.at[sel_c].set(jnp.where((sel < N_TRACKS)[:, None, None],
+                                      0.0, tr[sel_c]))
+      # merge this frame's detections
+      tr = fh.reset_seen(tr)
+      empty = fh.empty_slots(tr, N_FEATS)
+      tr, _ = fh.merge_features(tr, feats_t, empty)
+      # triangulate the harvested tracks (batched GN)
+      pos, ok = compute_pos_batch(to_c_j, poses_j, img)
+      pos = jnp.where(ok[:, None], pos, jnp.asarray([1.0, 2.0, 11.0],
+                                                    pos.dtype))
+      return tr, pos
+
+    tracks, poss = jax.lax.scan(frame, tracks, feats)   # poss (T, M, 3)
+    eas = poss[:, lane_map]                             # (T, B, 3)
+    easp = pallas_bank.pack_bank_measurements(eas)
+    xo, Po = pallas_bank.vo_bank_scan(
+        xp, Pp, zsp, easp, dts, spec=spec, kind=kind, q_diag=q_diag,
+        r_mat=r_mat, gate=True, t_chunk=T, tile_b=tile_b, structure=st)
+    return xo, Po, tracks
+
+  @jax.jit
+  def chain(tracks, feats, xp, Pp, zsp):
+    s = jnp.asarray(0.0, dtype)
+    for i in range(chain_n):
+      xo, Po, tracks = pipeline(tracks, feats, xp + 1e-6 * i, Pp, zsp)
+      s = s + jnp.sum(xo) + jnp.sum(Po) + jnp.sum(tracks[:, 0, 0])
+    return s
+
+  log("compiling VIO pipeline (merge + GN triangulation + VO kernel as "
+      "one program; first compile is minutes-scale)...")
+  best = _time_chain(chain, (tracks0_j, feats, xp, Pp, zsp))
+  frames_per_sec = (T * chain_n) / best
+  kernel_frames_per_sec = (B * T * chain_n) / best
+  tri_per_sec = (COHORT * T * chain_n) / best
+  log(f"VIO pipeline B={B} store={N_TRACKS}x{N_FEATS}: best "
+      f"{best*1e3:.2f} ms for {chain_n} chained sweeps -> "
+      f"{frames_per_sec/1e3:.1f}k camera frames/s "
+      f"({kernel_frames_per_sec/1e6:.1f}M bank frames/s, "
+      f"{tri_per_sec/1e3:.1f}k GN triangulations/s)")
+  return {
+      "metric": "vio_pipeline_camera_frame_throughput",
+      "value": round(frames_per_sec, 1),
+      "unit": "camera frames/sec/chip (merge+triangulate+kernel)",
+      "vs_baseline": round(kernel_frames_per_sec / BASELINE_STEPS_PER_SEC, 3),
+      "bank_frames_per_sec": round(kernel_frames_per_sec, 1),
+      "triangulations_per_sec": round(tri_per_sec, 1),
   }
 
 
@@ -743,6 +914,9 @@ def main():
   if model == "vo_eskf":
     print(json.dumps(bench_vo_eskf()))
     return
+  if model == "vio_pipeline":
+    print(json.dumps(bench_vio_pipeline()))
+    return
   if model == "car":
     print(json.dumps(bench_car()))
     return
@@ -766,6 +940,7 @@ def main():
       ("vo_lane", lambda: bench_vo(path="lane")),
       ("vo_kernel", lambda: bench_vo(path="kernel")),
       ("vo_eskf_kernel", bench_vo_eskf),
+      ("vio_pipeline", bench_vio_pipeline),
       ("car_params_stream", bench_car),
       ("generic_entry", lambda: bench_generic(path="sparse")),
       ("generic_mixed", lambda: bench_generic(path="mixed")),

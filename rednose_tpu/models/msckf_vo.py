@@ -47,7 +47,9 @@ def _f(params, x, dt):
   """Constant-velocity kinematics on the main state; clones are static
   (the block-propagation structure of templates/ekf_c.c:8-33)."""
   del params
-  return x.at[0:3].add(dt * x[3:6])
+  # keep the scatter value in x's dtype: a float64 dt (host timestamps)
+  # otherwise promotes the product and trips JAX's unsafe-cast scatter error
+  return x.at[0:3].add(jnp.asarray(dt * x[3:6], x.dtype))
 
 
 def _h_position(params, x, ea):

@@ -447,12 +447,47 @@ def entry_feature_innovation_slab(spec: FilterSpec, kind: int, params, x,
   return yp, HP, S
 
 
+def joseph_sym_augment(spec: FilterSpec, P, K, HP, S, k):
+  """Factored Joseph downdate (live_lane.joseph_sym) with the MSCKF window
+  augmentation folded into the output assembly: emits
+  augment_slab(joseph_sym(P, K, HP, S, k)) BITWISE in one pass over P.
+
+  The separate augment_slab materializes the updated P, re-slices it into
+  Pr, concatenates the duplicated pose block, and runs a 3-op _sym pass —
+  two extra full-covariance VMEM round trips per frame that are pure data
+  movement (VERDICT r4: the window roll is the VO kernel's FLOP-invisible
+  tax). Here the updated value B = P + (W + W^T) is only ever formed on
+  the KEPT rows (the dropped oldest-clone block's arithmetic is skipped),
+  the column permutation rides the same concatenate, and the duplicated
+  newest-clone rows reuse the assembled top rows. _sym is dropped because
+  it is the bitwise identity here: P is bitwise symmetric by the carry
+  invariant, W + W^T is bitwise symmetric for ANY W (float add commutes),
+  and block-assembling a bitwise-symmetric B preserves that — the old
+  _sym computed 0.5*(x + x) == x exactly."""
+  d2, d4, de = spec.dim_main_err, spec.dim_augment_err, spec.dim_err
+  T = 0.5 * _mm_l(S, jnp.swapaxes(K, 0, 1), k) - HP   # (k, de, *b)
+  W = _mm_l(K, T, k)
+  Wsym = W + jnp.swapaxes(W, 0, 1)
+  # updated covariance on the kept rows only ([0:d2) main, [d2+d4:) clones)
+  Bk = jnp.concatenate([P[:d2] + Wsym[:d2],
+                        P[d2 + d4:] + Wsym[d2 + d4:]])     # (de-d4, de, *b)
+  # drop the oldest clone's columns, append the duplicated pose columns
+  top = jnp.concatenate([Bk[:, :d2], Bk[:, d2 + d4:], Bk[:, :d4]], axis=1)
+  # the newest clone's rows duplicate the already-assembled pose rows
+  return jnp.concatenate([top, top[:d4]])
+
+
 def entry_feature_apply_slab(spec: FilterSpec, kind: int, params, x, P,
-                             yp, HP, S, gate: bool):
+                             yp, HP, S, gate: bool, augment: bool = False):
   """Second half of the MSCKF feature update: lane Cholesky solve at the
   projected dimension, Mahalanobis zero-gain gate, factored Joseph
   downdate, and error injection. Consumes
-  entry_feature_innovation_slab's (yp, HP, S); returns (x, P, yp)."""
+  entry_feature_innovation_slab's (yp, HP, S); returns (x, P, yp).
+
+  augment=True folds the MSCKF window augmentation into the covariance
+  assembly (joseph_sym_augment) and the state roll into the injection
+  output — bitwise augment_slab(entry_feature_apply_slab(...)) without
+  the extra covariance passes."""
   from rednose_tpu.ops.lane_bank import cho_solve_lane, cholesky_lane
 
   om = spec.obs[kind]
@@ -472,13 +507,20 @@ def entry_feature_apply_slab(spec: FilterSpec, kind: int, params, x, P,
     K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
   dx = sum(K[:, i] * yp[i][None] for i in range(dzp))
 
-  P_new = joseph_sym(P, K, HP, S, dzp)
+  if augment:
+    P_new = joseph_sym_augment(spec, P, K, HP, S, dzp)
+  else:
+    P_new = joseph_sym(P, K, HP, S, dzp)
 
   ldx = _sds((de,), dtype)
   x_obj = structural.run_primal(
       lambda xx, dd: spec.err(params, xx, dd), (lx, ldx), (x, dx), interp)
   x_new = interp.materialize(x_obj[0])
-  return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new, yp
+  x_new = _normalize_slices_slab(x_new, spec.quaternion_idxs)
+  if augment:
+    d1, d3 = spec.dim_main, spec.dim_augment
+    x_new = jnp.concatenate([x_new[:d1], x_new[d1 + d3:], x_new[:d3]])
+  return x_new, P_new, yp
 
 
 def entry_feature_update_slab(spec: FilterSpec, kind: int, params, x, P,
@@ -509,13 +551,14 @@ def entry_step_slab(spec: FilterSpec, kind: int, params, x, P, z, q_diag,
 def entry_vo_frame_slab(spec: FilterSpec, kind: int, params, x, P, z, ea,
                         q_diag, r_mat, dt, structure, gate: bool = False):
   """One banked-VO frame: MSCKF block predict + nullspace-projected
-  feature update + window augmentation, all kernel-lowerable."""
-  from rednose_tpu.ops.lane_bank import augment_slab
-
+  feature update + window augmentation (folded into the covariance
+  assembly, joseph_sym_augment), all kernel-lowerable."""
   x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
-  x, P, _ = entry_feature_update_slab(spec, kind, params, x, P, z, r_mat,
-                                      gate, ea, structure=structure)
-  return augment_slab(spec, x, P)
+  yp, HP, S = entry_feature_innovation_slab(spec, kind, params, x, P, z,
+                                            r_mat, ea, structure=structure)
+  x, P, _ = entry_feature_apply_slab(spec, kind, params, x, P, yp, HP, S,
+                                     gate, augment=True)
+  return x, P
 
 
 def entry_vo_frame_branches(spec: FilterSpec, kind: int, params, q_diag,
@@ -532,7 +575,6 @@ def entry_vo_frame_branches(spec: FilterSpec, kind: int, params, q_diag,
   (~3.3k — above the soft budget but below the observed OOM point) to
   trade compile headroom for one fewer region boundary. Semantics are
   exactly entry_vo_frame_slab's (parity: tests/test_entry_slab.py)."""
-  from rednose_tpu.ops.lane_bank import augment_slab
 
   def predict_phase(x, P, yp, HP, S, z, ea, dt):
     x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
@@ -553,8 +595,7 @@ def entry_vo_frame_branches(spec: FilterSpec, kind: int, params, q_diag,
 
   def apply_phase(x, P, yp, HP, S, z, ea, dt):
     x, P, _ = entry_feature_apply_slab(spec, kind, params, x, P, yp, HP,
-                                       S, gate)
-    x, P = augment_slab(spec, x, P)
+                                       S, gate, augment=True)
     return x, P, yp, HP, S
 
   if n_phases == 2:

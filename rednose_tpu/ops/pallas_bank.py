@@ -524,6 +524,107 @@ def epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate, structure,
   return _num_eqns(closed.jaxpr)
 
 
+def _epoch_group_step(spec, slot_kinds, lo, hi, with_predict, q_diag,
+                      r_mats, gate, structure, entry, base_params, ps_keys):
+  """Contiguous slice of one epoch step: (optionally) the predict plus the
+  inline updates for slots[lo:hi]. Shared by the 'split' slot mode's
+  region branches and the partitioner's op counter, so the per-region
+  Mosaic budget is measured on the exact code that compiles."""
+  from rednose_tpu.ops.entry_slab import entry_predict_slab, \
+      entry_update_slab
+
+  def run(x, P, z_t, ea_t, dt, ps_row):
+    params = dict(base_params)
+    if ps_keys:
+      params.update({key: ps_row[i] for i, key in enumerate(ps_keys)})
+    if with_predict:
+      if entry:
+        x, P = entry_predict_slab(spec, params, x, P, q_diag, dt, structure)
+      else:
+        x, P = generic_predict_slab(spec, params, x, P, q_diag, dt,
+                                    structure=structure)
+    for k in range(lo, hi):
+      kind = slot_kinds[k]
+      om = spec.obs[kind]
+      z = z_t[k, :om.dz]
+      ea = ea_t[k, :om.ea_len] if om.ea_len else None
+      g = gate and om.maha_test
+      if entry:
+        x, P, _ = entry_update_slab(spec, kind, params, x, P, z, r_mats[k],
+                                    g, structure, ea=ea)
+      else:
+        x, P, _ = generic_update_slab(spec, kind, params, x, P, z,
+                                      r_mats[k], gate=g,
+                                      structure=structure, ea=ea)
+    return x, P
+
+  return run
+
+
+@functools.lru_cache(maxsize=None)
+def _epoch_group_ops(spec, slot_kinds, lo, hi, with_predict, q_diag, r_mats,
+                     gate, structure, entry, has_ea, base_params,
+                     ps_keys) -> int:
+  """Exact jaxpr op count of one split-mode group region at tiny shapes."""
+  dx, de = spec.dim_x, spec.dim_err
+  K = len(slot_kinds)
+  max_dz = max(spec.obs[k].dz for k in slot_kinds)
+  max_ea = max(spec.obs[k].ea_len for k in slot_kinds)
+  b = (8, 8)
+  f32 = jnp.float32
+  sds = jax.ShapeDtypeStruct
+  run = _epoch_group_step(spec, slot_kinds, lo, hi, with_predict, q_diag,
+                          r_mats, gate, structure, entry, base_params,
+                          ps_keys)
+  ps_s = (sds((len(ps_keys),), f32),) if ps_keys else ()
+  ea_s = (sds((K, max(max_ea, 1)) + b, f32),) if has_ea else ()
+
+  def fn(x, P, z_t, dt, *rest):
+    rest = list(rest)
+    ea_t = rest.pop(0) if has_ea else None
+    ps_row = rest.pop(0) if ps_keys else None
+    return run(x, P, z_t, ea_t, dt, ps_row)
+
+  closed = jax.make_jaxpr(fn)(
+      sds((dx,) + b, f32), sds((de, de) + b, f32),
+      sds((K, max_dz) + b, f32), sds((), f32), *ea_s, *ps_s)
+  return _num_eqns(closed.jaxpr)
+
+
+@functools.lru_cache(maxsize=None)
+def _partition_epoch_slots(spec, slot_kinds, q_diag, r_mats, gate,
+                           structure, entry, has_ea, base_params, ps_keys,
+                           budget: int):
+  """Greedy contiguous partition of [predict] + slot updates into the
+  fewest groups whose EXACT region op count fits the Mosaic budget.
+  Returns the interior cut points (tuple of slot indices; group 0 carries
+  the predict), or None if some single region can't fit (fall back to the
+  per-slot switch dispatch)."""
+  K = len(slot_kinds)
+
+  def ops(lo, hi, with_predict):
+    return _epoch_group_ops(spec, slot_kinds, lo, hi, with_predict, q_diag,
+                            r_mats, gate, structure, entry, has_ea,
+                            base_params, ps_keys)
+
+  bounds = []
+  lo, with_predict = 0, True
+  while True:
+    hi = lo
+    # grow the group while the exact region count stays under budget
+    while hi < K and ops(lo, hi + 1, with_predict) <= budget:
+      hi += 1
+    if hi == lo:
+      # nothing fit: OK only for a bare-predict group 0 under budget
+      if not (with_predict and ops(lo, lo, True) <= budget):
+        return None  # a single region can't fit the budget
+    if hi >= K:
+      break
+    bounds.append(hi)
+    lo, with_predict = hi, False
+  return tuple(bounds)
+
+
 def _epoch_kernel(dts_ref, *refs, spec, slot_kinds, t_chunk: int, q_diag,
                   r_mats, gate: bool, structure, entry: bool, has_ea: bool,
                   slot_mode: str, base_params=(), ps_keys=()):
@@ -571,6 +672,20 @@ def _epoch_kernel(dts_ref, *refs, spec, slot_kinds, t_chunk: int, q_diag,
                                     entry, ps_keys=ps_keys,
                                     base_params=base_params)
                      for kind, r_mat in keys)
+  elif slot_mode.startswith('split:'):
+    # contiguous slot groups, each a flat region under the Mosaic budget;
+    # group 0 carries the predict (the VO kernel's phase-dispatch pattern,
+    # _vo_kernel 'switch2' — each lax.switch branch compiles as its own
+    # Mosaic region, so per-region op count stays bounded while dispatch
+    # cost is one switch per GROUP instead of one per slot)
+    cuts = tuple(int(c) for c in slot_mode[6:].split(',')) if \
+        slot_mode != 'split:' else ()
+    edges = (0,) + cuts + (K,)
+    groups = tuple(
+        _epoch_group_step(spec, slot_kinds, edges[i], edges[i + 1], i == 0,
+                          q_diag, r_mats, gate, structure, entry,
+                          base_params, ps_keys)
+        for i in range(len(edges) - 1))
 
   def body(t, carry):
     x, P = carry
@@ -579,6 +694,18 @@ def _epoch_kernel(dts_ref, *refs, spec, slot_kinds, t_chunk: int, q_diag,
       ps_row = tuple(pss_ref[t, i] for i in range(len(ps_keys)))  # scalars
     else:
       ps_row = dt * 0.0  # unused placeholder
+    if slot_mode.startswith('split:'):
+      z_t = zs_ref[pl.ds(t, 1)].reshape(zs_ref.shape[1:])  # (K, max_dz, *b)
+      ea_t = (eas_ref[pl.ds(t, 1)].reshape(eas_ref.shape[1:])
+              if has_ea else None)
+      phase_branches = tuple(
+          (lambda g: lambda xx, PP: g(xx, PP, z_t, ea_t, dt, ps_row))(g)
+          for g in groups)
+      if len(phase_branches) == 1:
+        return phase_branches[0](x, P)
+      return jax.lax.fori_loop(
+          0, len(phase_branches),
+          lambda pi, c: jax.lax.switch(pi, phase_branches, *c), (x, P))
     if slot_mode == 'switch':
       params = dict(base_params)
       if ps_keys:
@@ -907,13 +1034,25 @@ def generic_bank_scan_epoch(x_packed, P_packed, zs_packed, dts,
   n_b, n_t = B // tile_b, T // t_chunk
 
   entry = entry and structure is not None
-  assert slot_mode in ('auto', 'unroll', 'switch'), slot_mode
+  assert slot_mode in ('auto', 'unroll', 'switch') or \
+      slot_mode.startswith('split:'), slot_mode
   if slot_mode == 'auto':
     flat_ops = epoch_flat_body_ops(spec, slot_kinds, q_diag, r_mats, gate,
                                    structure, entry,
                                    eas_packed is not None, base_params,
                                    ps_keys)
-    slot_mode = 'unroll' if flat_ops <= EPOCH_UNROLL_OP_BUDGET else 'switch'
+    if flat_ops <= EPOCH_UNROLL_OP_BUDGET:
+      slot_mode = 'unroll'
+    else:
+      # over-budget flat body: prefer the fewest-region contiguous split
+      # (one lax.switch per GROUP) over the per-slot switch dispatch —
+      # measured 16x faster on the live 4-distinct-kind all-sensors tick
+      cuts = _partition_epoch_slots(spec, slot_kinds, q_diag, r_mats, gate,
+                                    structure, entry,
+                                    eas_packed is not None, base_params,
+                                    ps_keys, EPOCH_UNROLL_OP_BUDGET)
+      slot_mode = ('split:' + ','.join(str(c) for c in cuts)
+                   if cuts else 'switch')
     logging.getLogger(__name__).info(
         "generic_bank_scan_epoch auto: flat body %d ops (budget %d) -> "
         "slot_mode=%r for %d slots / %d distinct kinds", flat_ops,

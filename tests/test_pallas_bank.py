@@ -442,12 +442,14 @@ def test_generic_epoch_kernel_switch_mode_matches_unroll():
 
 
 @pytest.mark.slow
-def test_generic_epoch_kernel_live_complexity_routes_to_switch():
+def test_generic_epoch_kernel_live_complexity_routes_to_split():
   """A live-complexity epoch (4 DISTINCT 22-dim kinds per step — the
-  all-sensors tick) exceeds the flat-unroll Mosaic budget; auto mode
-  routes it to the switch dispatch and the result matches the core/step
-  oracle. This was the round-3 documented limitation ('use run_mixed
-  there') — now any epoch schedule reaches the kernel."""
+  all-sensors tick) exceeds the flat-unroll Mosaic budget; auto mode now
+  routes it to the contiguous SPLIT dispatch (two flat half-epoch regions,
+  each under budget — one switch per group instead of one per slot) and
+  the result matches the core/step oracle. This was the round-3 documented
+  limitation ('use run_mixed there'); round 4 made it compile via the
+  per-slot switch, round 5 makes it fast."""
   from rednose_tpu.models.live import LiveKalman, ObservationKind as LK
   from rednose_tpu.ops import sparsity
 
@@ -486,11 +488,28 @@ def test_generic_epoch_kernel_live_complexity_routes_to_switch():
   xp, Pp = pallas_bank.pack_bank(
       jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
   zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs))
+  # auto must pick a split (the whole point: no per-slot dispatch)
+  cuts = pallas_bank._partition_epoch_slots(
+      spec, slot_kinds, q_diag, r_mats, True, structure, True, False, (),
+      (), pallas_bank.EPOCH_UNROLL_OP_BUDGET)
+  assert cuts, cuts
+
   xo, Po = pallas_bank.generic_bank_scan_epoch(
       xp, Pp, zsp, jnp.asarray(dts), spec=spec, slot_kinds=slot_kinds,
       q_diag=q_diag, r_mats=r_mats, t_chunk=2, tile_b=8, interpret=True,
       structure=structure, slot_mode='auto')
   xu, Pu = pallas_bank.unpack_bank(xo, Po)
+
+  # the per-slot switch dispatch must agree with the split form (same
+  # math, different region grouping -> ULP-level reassociation only)
+  xs_, Ps_ = pallas_bank.generic_bank_scan_epoch(
+      xp, Pp, zsp, jnp.asarray(dts), spec=spec, slot_kinds=slot_kinds,
+      q_diag=q_diag, r_mats=r_mats, t_chunk=2, tile_b=8, interpret=True,
+      structure=structure, slot_mode='switch')
+  np.testing.assert_allclose(np.asarray(xs_), np.asarray(xo),
+                             rtol=1e-12, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(Ps_), np.asarray(Po),
+                             rtol=1e-12, atol=1e-12)
 
   for i in range(B):
     x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
