@@ -272,9 +272,11 @@ def bench_generic(path=None):
   if path == "epoch_live":
     # the live ALL-SENSORS tick: one predict + gyro+accel+cam-rot+pos
     # per step. Four distinct 22-dim kinds blow the flat-unroll Mosaic
-    # budget (3879 ops), so slot_mode='auto' routes to the per-slot
-    # lax.switch dispatch — the config that was documented as
-    # kernel-impossible before the switch mode existed.
+    # budget (3847 ops vs 2600), so slot_mode='auto' routes to the
+    # contiguous SPLIT dispatch — [predict+gyro | accel+cam-rot+pos],
+    # one lax.switch per group (218.9M upd/s vs 130.8M for the r4
+    # per-slot switch; the config that was documented as
+    # kernel-impossible before the dispatch modes existed).
     kinds = (int(K.PHONE_GYRO), int(K.PHONE_ACCEL),
              int(K.CAMERA_ODO_ROTATION), int(K.ECEF_POS))
     Ksl = len(kinds)
@@ -718,15 +720,9 @@ def bench_vio_pipeline():
   @jax.jit
   def pipeline(tracks, feats, xp, Pp, zsp):
     def frame(tr, feats_t):
-      # harvest FIRST (pipeline.py pose/observation alignment)
-      hdr = tr[:, 0]
-      done = (hdr[:, fh.H_COMPLETE] == 1.0) & (hdr[:, fh.H_VALID] == 1.0)
-      keys = jnp.where(done, jnp.arange(N_TRACKS), N_TRACKS)
-      sel = jnp.sort(keys)[:M]
-      sel_c = jnp.clip(sel, 0, N_TRACKS - 1)
-      img = tr[sel_c, 1:, 2:4]                        # (M, K, 2)
-      tr = tr.at[sel_c].set(jnp.where((sel < N_TRACKS)[:, None, None],
-                                      0.0, tr[sel_c]))
+      # harvest FIRST (pipeline.py pose/observation alignment); sort-free
+      # compaction + mask-multiply clear (fh.harvest_complete)
+      _, img, tr = fh.harvest_complete(tr, M)         # img (M, K, 2)
       # merge this frame's detections
       tr = fh.reset_seen(tr)
       empty = fh.empty_slots(tr, N_FEATS)

@@ -44,11 +44,10 @@ def empty_tracks(K: int, n_tracks: int = DEFAULT_N_TRACKS,
   return jnp.zeros((n_tracks, K + 1, 5), dtype=dtype)
 
 
-def sane(track):
-  """Reject erratic inter-frame motion (feature_handler.c:1-20): adjacent
-  |du|/|dv| ratios outside [0.5, 2] while either exceeds 0.05."""
-  u = track[1:, 2]  # (K,) image-x per observation slot
-  v = track[1:, 3]
+def _sane_uv(u, v):
+  """sane() on raw (K,) u/v observation columns (shared by sane() and the
+  merge's completed-this-frame check, which assembles the final row from
+  the incoming feature instead of re-reading the post-scatter store)."""
   dx = jnp.abs(u[1:] - u[:-1])  # (K-1,)
   dy = jnp.abs(v[1:] - v[:-1])
 
@@ -59,6 +58,12 @@ def sane(track):
     return jnp.any(jnp.logical_and(big, ratio))
 
   return jnp.logical_not(jnp.logical_or(bad(dx), bad(dy)))
+
+
+def sane(track):
+  """Reject erratic inter-frame motion (feature_handler.c:1-20): adjacent
+  |du|/|dv| ratios outside [0.5, 2] while either exceeds 0.05."""
+  return _sane_uv(track[1:, 2], track[1:, 3])
 
 
 def reset_seen(tracks):
@@ -109,6 +114,15 @@ def merge_features(tracks, features, empty_idxs):
   is_append = appendable & (first[match_c] == order)
 
   # ---- appends -------------------------------------------------------------
+  # Scatter style matters 3x here, and NOT the way the usual heuristics
+  # say (all measured in-scan on TPU at the 6000x3000 design point,
+  # round 5): fusing the five header column scatters into one (nf, 5)
+  # row scatter + assembling the completed track's final row from the
+  # incoming feature (to compute sane() without re-reading the
+  # post-scatter store) cost +5.0 ms/frame (2.4 -> 7.4); adding
+  # unique_indices=True + per-row out-of-bounds sentinels (so XLA can
+  # skip the scatter-sort) was EXACTLY neutral. The column-scatter
+  # spelling below is the measured-fast one; don't "clean it up".
   tgt = jnp.where(is_append, match_c, n_tracks)  # out-of-bounds rows dropped
   new_count = hdr[:, H_COUNT] + 1.0
   slot = new_count.astype(jnp.int32)
@@ -142,12 +156,46 @@ def merge_features(tracks, features, empty_idxs):
   return tracks, n_dropped
 
 
+def _compact_indices(mask, m: int):
+  """First m indices where mask is True, ascending, padded with n =
+  mask.size. Sort-free: the running count c = cumsum(mask) is
+  nondecreasing, so the j-th set index is searchsorted(c, j+1).
+  method='compare_all' ((m, n) broadcast compare + row reduce, no
+  gathers) — measured in-scan on TPU at the 6000x3000 design point it
+  ties the old where/sort bitonic spelling (~2.0 ms/frame store legs)
+  while the default method='scan' (fori_loop of gathers) loses 15%
+  (2.35 ms). The bigger harvest win was never the compaction: it was
+  clearing harvested rows with a mask-multiply instead of a scatter
+  (harvest_complete), worth ~0.9 ms/frame."""
+  c = jnp.cumsum(mask.astype(jnp.int32))
+  want = jnp.arange(1, m + 1, dtype=jnp.int32)
+  return jnp.searchsorted(c, want, side='left',
+                          method='compare_all').astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def empty_slots(tracks, n_features: int = DEFAULT_N_FEATURES):
   """Indices of up-to-n_features empty track slots (count == 0), the host-side
   bookkeeping the reference leaves to the caller."""
-  is_empty = tracks[:, 0, H_COUNT] == 0.0
-  # stable top-k trick: empty slots keep their index, others sort to the end
+  return _compact_indices(tracks[:, 0, H_COUNT] == 0.0, n_features)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def harvest_complete(tracks, max_out: int):
+  """Pull up to max_out complete+valid tracks and clear every complete row
+  (valid or not) from the store — the device-side form of the reference's
+  harvest-then-filter loop (examples/test_compare.py-style consumers pull
+  complete tracks each frame; rednose_tpu/msckf/pipeline.py does it on the
+  host). Returns (idxs, uv, tracks): idxs (max_out,) ascending track
+  indices padded with n_tracks, uv (max_out, K, 2) their observation
+  rows (oldest first; padding rows read track 0, callers mask on idxs),
+  and the cleared store. The clear is a mask-multiply, not a scatter."""
   n_tracks = tracks.shape[0]
-  keys = jnp.where(is_empty, jnp.arange(n_tracks), n_tracks)
-  return jnp.sort(keys)[:n_features].astype(jnp.int32)
+  hdr = tracks[:, 0]
+  complete = hdr[:, H_COMPLETE] == 1.0
+  done = complete & (hdr[:, H_VALID] == 1.0)
+  idxs = _compact_indices(done, max_out)
+  uv = tracks[jnp.clip(idxs, 0, n_tracks - 1), 1:, 2:4]
+  tracks = tracks * jnp.logical_not(complete)[:, None, None].astype(
+      tracks.dtype)
+  return idxs, uv, tracks

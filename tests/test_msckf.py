@@ -170,6 +170,44 @@ def test_empty_slots():
   np.testing.assert_array_equal(slots, [0, 2, 3, 5, 6])
 
 
+def test_empty_slots_pads_with_sentinel_when_store_nearly_full():
+  """Fewer empty slots than requested: the tail pads with n_tracks, the
+  sentinel merge_features drops on (sort-free _compact_indices path)."""
+  K = 3
+  n_tracks = 10
+  tracks = np.zeros((n_tracks, K + 1, 5))
+  tracks[:, 0, 0] = 2          # all occupied...
+  tracks[[3, 8], 0, 0] = 0.0   # ...except two
+  slots = np.asarray(fh.empty_slots(jnp.asarray(tracks), 6))
+  np.testing.assert_array_equal(
+      slots, [3, 8, n_tracks, n_tracks, n_tracks, n_tracks])
+
+
+def test_harvest_complete():
+  """harvest_complete pulls complete+valid tracks ascending (padded with
+  n_tracks), returns their observation rows oldest-first, and clears EVERY
+  complete row (valid or not) while leaving incomplete tracks untouched."""
+  K, n_tracks = 4, 12
+  rng = np.random.default_rng(7)
+  tracks = np.zeros((n_tracks, K + 1, 5))
+  # 9: complete+valid, 2: complete+invalid, 5: complete+valid, 4: incomplete
+  for m, (complete, valid) in [(9, (1, 1)), (2, (1, 0)), (5, (1, 1)),
+                               (4, (0, 0))]:
+    count = K if complete else 2
+    tracks[m, 0] = [count, m, 0, complete, valid]
+    tracks[m, 1:1 + count, 2:4] = rng.normal(0, 0.02, (count, 2))
+  idxs, uv, out = fh.harvest_complete(jnp.asarray(tracks), 4)
+  idxs, uv, out = np.asarray(idxs), np.asarray(uv), np.asarray(out)
+  np.testing.assert_array_equal(idxs, [5, 9, n_tracks, n_tracks])
+  np.testing.assert_allclose(uv[0], tracks[5, 1:, 2:4])
+  np.testing.assert_allclose(uv[1], tracks[9, 1:, 2:4])
+  assert np.all(out[[2, 5, 9]] == 0)           # complete rows cleared
+  np.testing.assert_allclose(out[4], tracks[4])  # incomplete untouched
+  # cleared slots are immediately re-allocatable
+  slots = np.asarray(fh.empty_slots(jnp.asarray(out), 3))
+  np.testing.assert_array_equal(slots, [0, 1, 2])
+
+
 # ------------------------------------------------------- augment + feature update
 
 def _msckf_spec(n_aug=3):
