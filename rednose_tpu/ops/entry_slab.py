@@ -45,8 +45,7 @@ import numpy as np
 
 from rednose_tpu.core.spec import FilterSpec
 from rednose_tpu.ops import structural
-from rednose_tpu.ops.lane_bank import _inv_small
-from rednose_tpu.ops.live_lane import _mm_l, _sym, joseph_sym
+from rednose_tpu.ops.live_lane import _mm_l, _sym
 
 Array = Any
 
@@ -95,10 +94,6 @@ def _tree_sum(terms):
       nxt.append(terms[-1])
     terms = nxt
   return terms[0]
-
-
-def _stack_rows(rows, zero_row):
-  return jnp.stack([r if r is not None else zero_row for r in rows])
 
 
 def _add_diag_iota(P, scale, diag):
@@ -254,6 +249,33 @@ def entry_predict_slab(spec: FilterSpec, params, x, P, q_diag, dt,
   return _normalize_slices_slab(x_new, spec.quaternion_idxs), P_new
 
 
+def _inv_entries(s, d):
+  """Closed-form adjugate inverse on a nested list of scalar (*b) entries —
+  lane_bank._inv_small bitwise, without ever stacking S into a (d, d, *b)
+  slab that the consumers (gain, gate, Joseph) would immediately re-slice
+  entry-by-entry (in a Mosaic kernel each of those slices is a real VREG
+  copy). The adjugate of a bitwise-symmetric S is bitwise symmetric."""
+  if d == 1:
+    return [[1.0 / s[0][0]]]
+  if d == 2:
+    det = s[0][0] * s[1][1] - s[0][1] * s[1][0]
+    return [[s[1][1] / det, (-s[0][1]) / det],
+            [(-s[1][0]) / det, s[0][0] / det]]
+  if d == 3:
+    c = [[s[1][1] * s[2][2] - s[1][2] * s[2][1],
+          s[0][2] * s[2][1] - s[0][1] * s[2][2],
+          s[0][1] * s[1][2] - s[0][2] * s[1][1]],
+         [s[1][2] * s[2][0] - s[1][0] * s[2][2],
+          s[0][0] * s[2][2] - s[0][2] * s[2][0],
+          s[0][2] * s[1][0] - s[0][0] * s[1][2]],
+         [s[1][0] * s[2][1] - s[1][1] * s[2][0],
+          s[0][1] * s[2][0] - s[0][0] * s[2][1],
+          s[0][0] * s[1][1] - s[0][1] * s[1][0]]]
+    det = s[0][0] * c[0][0] + s[0][1] * c[1][0] + s[0][2] * c[2][0]
+    return [[c[i][j] / det for j in range(3)] for i in range(3)]
+  raise NotImplementedError(f"closed-form inverse only for d<=3, got {d}")
+
+
 def _normalize_slices_slab(x, idxs):
   for idx in idxs:
     q = x[idx:idx + 4]
@@ -304,43 +326,71 @@ def entry_update_slab(spec: FilterSpec, kind: int, params, x, P, z, R,
                                             cols, interp)
   h = interp.materialize(h_obj)
   y = z - h
+  y_ent = [y[i] for i in range(dz)]
 
   zero_row = P[0] * 0.0  # (de, *b)
   # HP = H_err P: row r accumulates over the nonzero (r, c) entries
-  # (row slices hoisted — see entry_predict_slab; tree-summed for depth)
+  # (row slices hoisted — see entry_predict_slab; tree-summed for depth).
+  # Everything downstream (S, S^-1, the gain, the Joseph downdate) is
+  # consumed at SCALAR-ENTRY granularity: the old spelling stacked HP / S
+  # / K into small slabs and immediately re-sliced them entry-by-entry
+  # (~90-150 pure slice/squeeze ops per update — measured 489 -> ~350
+  # ops for the 3-col camera-rotation update), which in a Mosaic kernel
+  # are real VREG copies, not free metadata. The algebra below is the
+  # same-term-order reassociation of _inv_small + _mm_l + joseph_sym on
+  # entries; the only value change vs the slab spelling is that S's
+  # mirror entries are now SHARED (bitwise-symmetric S) instead of two
+  # independent f32 summations — within each path's own roundoff.
   P_rows = {c: P[c] for c in cols}
   hp_rows = [
       _tree_sum([_ent_mul(taps[c][r], P_rows[c]) for c in cols])
       for r in range(dz)]
-  HP = _stack_rows(hp_rows, zero_row)  # (dz, de, *b)
+  hp_ent = {(r, c): (hp_rows[r][c] if hp_rows[r] is not None else None)
+            for r in range(dz) for c in cols}
 
-  # S = HP H^T: S[r, s] = sum_c HP[r, c] * H[s, c]
-  HP_ent = {(r, c): HP[r, c] for r in range(dz) for c in cols}
-  s_rows = []
+  # S = HP H^T + R: S[r, s] = sum_c HP[r, c] * H[s, c], kept as entries.
+  # S is exactly symmetric in exact arithmetic; computing only the upper
+  # triangle and SHARING the entry across (r, s)/(s, r) saves
+  # dz(dz-1)/2 * nc multiply-adds AND makes S (hence its adjugate
+  # inverse) bitwise symmetric — the two-triangle spelling computed each
+  # mirror pair as a different f32 summation.
+  s_ent = [[None] * dz for _ in range(dz)]
+  r_tuple = isinstance(R, tuple)
+  if r_tuple:
+    assert all(R[i][j] == R[j][i] for i in range(dz) for j in range(dz)), \
+        "measurement noise R must be symmetric"
+  elif R.ndim == 2:
+    R = R.reshape(R.shape + (1,) * (x.ndim - 1))
   for r in range(dz):
-    row = []
-    for s in range(dz):
-      acc = _tree_sum([_ent_mul(taps[c][s], HP_ent[r, c]) for c in cols])
-      row.append(acc if acc is not None else zero * 0.0)
-    s_rows.append(row)
+    for s in range(r, dz):
+      acc = _tree_sum([_ent_mul(taps[c][s], hp_ent[r, c]) for c in cols])
+      acc = acc if acc is not None else zero * 0.0
+      if r_tuple:
+        if R[r][s] != 0.0:
+          acc = acc + R[r][s]
+      else:
+        acc = acc + R[r, s]
+      s_ent[r][s] = acc
+      s_ent[s][r] = acc
 
-  if isinstance(R, tuple):
-    S = jnp.stack([jnp.stack([s_rows[i][j] + R[i][j] for j in range(dz)])
-                   for i in range(dz)])
-  else:
-    if R.ndim == 2:
-      R = R.reshape(R.shape + (1,) * (x.ndim - 1))
-    S = jnp.stack([jnp.stack(row) for row in s_rows]) + R
-
-  Sinv = _inv_small(S)
-  K = _mm_l(jnp.swapaxes(HP, 0, 1), Sinv, dz)  # P H^T S^-1 (P symmetric)
+  siv = _inv_entries(s_ent, dz)
+  # K^T = S^-1 H P (S, S^-1 symmetric): row i = sum_j siv[i][j] * HP[j]
+  kt_rows = [sum(siv[i][j] * hp_rows[j] for j in range(dz)
+                 if hp_rows[j] is not None) for i in range(dz)]
   if gate:
-    dist = sum(y[i] * Sinv[i, j] * y[j]
+    dist = sum(y_ent[i] * siv[i][j] * y_ent[j]
                for i in range(dz) for j in range(dz))
-    K = jnp.where(dist[None, None] > om.maha_thresh, 0.0, K)
-  dx = sum(K[:, i] * y[i][None] for i in range(dz))
+    rej = dist[None] > om.maha_thresh
+    kt_rows = [jnp.where(rej, 0.0, kt) for kt in kt_rows]
+  dx = sum(kt_rows[i] * y_ent[i][None] for i in range(dz))
 
-  P_new = joseph_sym(P, K, HP, S, dz)
+  # factored Joseph downdate on entries (live_lane.joseph_sym):
+  # W = K (0.5 S K^T - HP); P' = P + (W + W^T) is exactly symmetric
+  t_rows = [0.5 * sum(s_ent[i][j] * kt_rows[j] for j in range(dz))
+            - (hp_rows[i] if hp_rows[i] is not None else zero_row)
+            for i in range(dz)]
+  W = sum(kt_rows[i][:, None] * t_rows[i][None] for i in range(dz))
+  P_new = P + (W + jnp.swapaxes(W, 0, 1))
 
   # error injection through the interpreter (dx is a plain traced slab —
   # nothing folds, but the emission is scalarized and memo-shared with h)

@@ -473,11 +473,14 @@ def _num_eqns(jaxpr) -> int:
 
 
 # Mosaic compile cost scales superlinearly with the per-region op count.
-# Measured anchors for FLAT epoch bodies (epoch_flat_body_ops counts):
-# the GNSS 8-slot epoch (LocKalman, 2477 ops) compiles and runs at 1.448B
-# updates/s; the live 4-distinct-kind epoch (3879 ops) OOMs the remote
-# compile helper. Flat bodies above this budget route to the per-slot
-# lax.switch dispatch, whose branch regions stay at one-update size.
+# Measured anchors for FLAT epoch bodies (epoch_flat_body_ops counts, at
+# the emission that was current when measured): the GNSS 8-slot epoch
+# (LocKalman, 2477 ops) compiles and runs at 1.448B updates/s; the live
+# 4-distinct-kind epoch (3879 ops) OOMs the remote compile helper. Flat
+# bodies above this budget route to the per-slot lax.switch dispatch,
+# whose branch regions stay at one-update size. The round-5 scalar-entry
+# update rewrite (entry_slab._inv_entries et al.) cut the same bodies to
+# 2243 / 3235 ops — the live epoch is still over budget.
 EPOCH_UNROLL_OP_BUDGET = 2600
 
 
