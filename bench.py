@@ -271,13 +271,12 @@ def bench_generic(path=None):
 
   if path == "epoch_live":
     # the live ALL-SENSORS tick: one predict + gyro+accel+cam-rot+pos
-    # per step. Four distinct 22-dim kinds blow the flat-unroll Mosaic
-    # budget (3235 ops after the round-5 scalar-entry update rewrite,
-    # was 3847; budget 2600), so slot_mode='auto' routes to the
-    # contiguous SPLIT dispatch with one lax.switch per group
-    # (218.9M upd/s vs 130.8M for the r4 per-slot switch; the config
-    # that was documented as kernel-impossible before the dispatch
-    # modes existed).
+    # per step. The round-5 scalar-entry update rewrite cut the flat
+    # body 3847 -> 3235 ops, under the point where Mosaic can compile
+    # it — slot_mode='auto' now keeps the zero-dispatch FLAT unroll:
+    # 306.1M upd/s vs 220.8M for the 2-region split and 130.8M for the
+    # r4 per-slot switch (the config that was documented as
+    # kernel-impossible before the dispatch modes existed).
     kinds = (int(K.PHONE_GYRO), int(K.PHONE_ACCEL),
              int(K.CAMERA_ODO_ROTATION), int(K.ECEF_POS))
     Ksl = len(kinds)

@@ -476,12 +476,16 @@ def _num_eqns(jaxpr) -> int:
 # Measured anchors for FLAT epoch bodies (epoch_flat_body_ops counts, at
 # the emission that was current when measured): the GNSS 8-slot epoch
 # (LocKalman, 2477 ops) compiles and runs at 1.448B updates/s; the live
-# 4-distinct-kind epoch (3879 ops) OOMs the remote compile helper. Flat
-# bodies above this budget route to the per-slot lax.switch dispatch,
-# whose branch regions stay at one-update size. The round-5 scalar-entry
-# update rewrite (entry_slab._inv_entries et al.) cut the same bodies to
-# 2243 / 3235 ops — the live epoch is still over budget.
-EPOCH_UNROLL_OP_BUDGET = 2600
+# 4-distinct-kind epoch at the pre-round-5 emission (3879 ops) OOMs the
+# remote compile helper. The round-5 scalar-entry update rewrite
+# (entry_slab._inv_entries et al.) cut the same bodies to 2243 / 3235
+# ops, and the 3235-op flat live epoch now COMPILES (315 s first
+# compile on the v5e relay) and runs at 306M updates/s — +39% over the
+# 2-region split dispatch (220.8M, same session) — so the budget sits
+# just above it. Flat bodies above budget route to the contiguous split
+# (if a partition exists) or the per-slot lax.switch dispatch, whose
+# regions stay at one-update size.
+EPOCH_UNROLL_OP_BUDGET = 3300
 
 
 @functools.lru_cache(maxsize=None)

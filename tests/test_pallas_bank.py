@@ -444,12 +444,15 @@ def test_generic_epoch_kernel_switch_mode_matches_unroll():
 @pytest.mark.slow
 def test_generic_epoch_kernel_live_complexity_routes_to_split():
   """A live-complexity epoch (4 DISTINCT 22-dim kinds per step — the
-  all-sensors tick) exceeds the flat-unroll Mosaic budget; auto mode now
-  routes it to the contiguous SPLIT dispatch (two flat half-epoch regions,
-  each under budget — one switch per group instead of one per slot) and
-  the result matches the core/step oracle. This was the round-3 documented
-  limitation ('use run_mixed there'); round 4 made it compile via the
-  per-slot switch, round 5 makes it fast."""
+  all-sensors tick): since the round-5 scalar-entry update rewrite cut
+  its flat body under the Mosaic budget, auto mode keeps the
+  zero-dispatch FLAT unroll (306M upd/s measured, +39% over the split);
+  a DOUBLED 8-slot schedule still exceeds the budget and must route to
+  the contiguous SPLIT dispatch. Both dispatch forms and the per-slot
+  switch must agree to ULP-level reassociation and match the core/step
+  oracle. This was the round-3 documented limitation ('use run_mixed
+  there'); round 4 made it compile via the per-slot switch, round 5
+  made it fast (split), then flat."""
   from rednose_tpu.models.live import LiveKalman, ObservationKind as LK
   from rednose_tpu.ops import sparsity
 
@@ -482,17 +485,22 @@ def test_generic_epoch_kernel_live_complexity_routes_to_split():
 
   flat = pallas_bank.epoch_flat_body_ops(
       spec, slot_kinds, q_diag, r_mats, True, structure, True, False)
-  assert flat > pallas_bank.EPOCH_UNROLL_OP_BUDGET, (
-      f"live epoch flat body is only {flat} ops — budget test is stale")
+  assert flat <= pallas_bank.EPOCH_UNROLL_OP_BUDGET, (
+      f"live epoch flat body grew to {flat} ops — auto no longer unrolls "
+      f"the all-sensors tick (budget {pallas_bank.EPOCH_UNROLL_OP_BUDGET})")
+  # ... while a doubled 8-slot schedule is over budget and must still
+  # find a contiguous split partition (no per-slot dispatch)
+  cuts = pallas_bank._partition_epoch_slots(
+      spec, slot_kinds * 2, q_diag, r_mats * 2, True, structure, True,
+      False, (), (), pallas_bank.EPOCH_UNROLL_OP_BUDGET)
+  assert pallas_bank.epoch_flat_body_ops(
+      spec, slot_kinds * 2, q_diag, r_mats * 2, True, structure, True,
+      False) > pallas_bank.EPOCH_UNROLL_OP_BUDGET
+  assert cuts, cuts
 
   xp, Pp = pallas_bank.pack_bank(
       jnp.asarray(x0), jnp.asarray(P0.transpose(1, 2, 0)))
   zsp = pallas_bank.pack_bank_epochs(jnp.asarray(zs))
-  # auto must pick a split (the whole point: no per-slot dispatch)
-  cuts = pallas_bank._partition_epoch_slots(
-      spec, slot_kinds, q_diag, r_mats, True, structure, True, False, (),
-      (), pallas_bank.EPOCH_UNROLL_OP_BUDGET)
-  assert cuts, cuts
 
   xo, Po = pallas_bank.generic_bank_scan_epoch(
       xp, Pp, zsp, jnp.asarray(dts), spec=spec, slot_kinds=slot_kinds,
@@ -500,16 +508,18 @@ def test_generic_epoch_kernel_live_complexity_routes_to_split():
       structure=structure, slot_mode='auto')
   xu, Pu = pallas_bank.unpack_bank(xo, Po)
 
-  # the per-slot switch dispatch must agree with the split form (same
-  # math, different region grouping -> ULP-level reassociation only)
-  xs_, Ps_ = pallas_bank.generic_bank_scan_epoch(
-      xp, Pp, zsp, jnp.asarray(dts), spec=spec, slot_kinds=slot_kinds,
-      q_diag=q_diag, r_mats=r_mats, t_chunk=2, tile_b=8, interpret=True,
-      structure=structure, slot_mode='switch')
-  np.testing.assert_allclose(np.asarray(xs_), np.asarray(xo),
-                             rtol=1e-12, atol=1e-12)
-  np.testing.assert_allclose(np.asarray(Ps_), np.asarray(Po),
-                             rtol=1e-12, atol=1e-12)
+  # the per-slot switch and the explicit 2-region split must both agree
+  # with the auto (flat) form (same math, different region grouping ->
+  # ULP-level reassociation only)
+  for mode in ('switch', 'split:2'):
+    xs_, Ps_ = pallas_bank.generic_bank_scan_epoch(
+        xp, Pp, zsp, jnp.asarray(dts), spec=spec, slot_kinds=slot_kinds,
+        q_diag=q_diag, r_mats=r_mats, t_chunk=2, tile_b=8, interpret=True,
+        structure=structure, slot_mode=mode)
+    np.testing.assert_allclose(np.asarray(xs_), np.asarray(xo),
+                               rtol=1e-12, atol=1e-12, err_msg=mode)
+    np.testing.assert_allclose(np.asarray(Ps_), np.asarray(Po),
+                               rtol=1e-12, atol=1e-12, err_msg=mode)
 
   for i in range(B):
     x, P = jnp.asarray(x0[i]), jnp.asarray(P0[i])
